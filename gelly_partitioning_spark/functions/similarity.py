@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k neighbor pairs — the baseline.
+  Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM lambda functions,
+  no Python), ranking via window. Quadratic: the correctness oracle for the ANN
+  path, usable up to ~10^5 vectors per query set.
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH bucketing. The
+  hyperplanes are derived from md5 of (plane, dim) so they are portable and
+  deterministic (no RNG); candidates only compare within a bucket.
+
+At 100 TB you would persist bucketed embeddings and broadcast the query
+set; both shapes are expressed here as plain joins so Catalyst handles the
+physical strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize so cosine = dot (one pass, reused by every query)."""
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        "_unit",
+        F.when(n > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / n)).otherwise(
+            F.transform(F.col(vec_col), lambda x: F.lit(0.0))
+        ),
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """(id, neighbor, cos) — exact top-k cosine neighbors per vector."""
+    u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
+    a = u.select(F.col("id").alias("id_a"), F.col("_unit").alias("va"))
+    b = u.select(F.col("id").alias("id_b"), F.col("_unit").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col("id_a").alias("id"), F.col("id_b").alias("neighbor"), "cos", "rk")
+    )
+
+
+def _hyperplane_sign(unit_col, plane: int, dim: int):
+    """Sign of <v, h_plane> where h_plane[d] = md5-derived ±weights.
+
+    Deterministic pseudo-random weights in [-0.5, 0.5): portable to any
+    engine that has md5 (the SQL oracle uses the same construction).
+    """
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"plane{plane}:"), d.cast("string"))), 1, 8), 16, 10).cast("double")
+            / F.lit(float(16**8))
+            - 0.5
+        ),
+    )
+    return (_dot(unit_col, weights) >= 0).cast("int")
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, neighbor, cos, rk) — approximate top-k via multi-table
+    hyperplane LSH.
+
+    Standard (m, L) scheme: L independent tables of m hyperplanes each;
+    vectors sharing a full sign pattern in ANY table become candidates.
+    Per-table collision prob for angle θ is (1−θ/π)^m; union over L tables
+    lifts recall (measured against ``cosine_topk`` in the test suite).
+    Candidates are deduped before exact scoring, so each pair's dot
+    product is computed once regardless of how many tables it collides in.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
+    bucket_cols = [
+        F.concat(
+            F.lit(f"{t}:"),
+            *[
+                _hyperplane_sign(F.col("_unit"), t * n_planes + p, dim).cast("string")
+                for p in range(n_planes)
+            ],
+        )
+        for t in range(n_tables)
+    ]
+    sig = u.select("id", "_unit", F.explode(F.array(*bucket_cols)).alias("bucket"))
+    a = sig.select(F.col("id").alias("id_a"), "bucket")
+    b = sig.select(F.col("id").alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = u.select(F.col("id").alias("id_a"), F.col("_unit").alias("va"))
+    vb = u.select(F.col("id").alias("id_b"), F.col("_unit").alias("vb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col("id_a").alias("id"), F.col("id_b").alias("neighbor"), "cos", "rk")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cos: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs above a cosine threshold — embedding-space
+    near-dup detection (brute force; swap in ann_lsh for scale)."""
+    u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
+    a = u.select(F.col("id").alias("id_a"), F.col("_unit").alias("va"))
+    b = u.select(F.col("id").alias("id_b"), F.col("_unit").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= min_cos)
+    )

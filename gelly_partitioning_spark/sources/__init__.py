@@ -1,0 +1,9 @@
+from .corpus import extract_edges, synthesize_repo_files
+from .edge_list import read_edge_list, write_edge_list
+
+__all__ = [
+    "extract_edges",
+    "synthesize_repo_files",
+    "read_edge_list",
+    "write_edge_list",
+]

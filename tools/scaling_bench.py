@@ -1,0 +1,110 @@
+"""Scaling-efficiency evidence for the north rule.
+
+The rule demands throughput scaling efficiency ≥ 0.8 from N to 4N
+executors. No real cluster exists in this sandbox, so per the driver's
+protocol we run the SAME job on the SAME input at two parallelism levels
+(local[8] vs local[32]) in separate JVMs and report:
+
+    efficiency = (throughput@32) / (4 × throughput@8)
+
+where throughput = PageRank supersteps per minute to convergence.
+
+Usage: python tools/scaling_bench.py [sf_dir] [--out BENCH/scaling.json]
+Spawns itself as a subprocess per level (one JVM cannot change master).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_level(cores: int, sf_dir: str, n_files: int) -> dict:
+    sys.path.insert(0, str(REPO))
+    from gelly_partitioning_spark import get_spark, pagerank
+    from gelly_partitioning_spark.sources import extract_edges, synthesize_repo_files
+
+    from gelly_partitioning_spark.superstep import SuperstepRunner
+
+    spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    if n_files > 0:
+        # engine-native input: repo-path co-occurrence graph, synthesized
+        # deterministically — identical rows at any parallelism level
+        rf = synthesize_repo_files(
+            spark, n_files=n_files, n_repos=max(200, n_files // 2000),
+            n_paths=max(1000, n_files // 200),
+        )
+        edges = extract_edges(rf).select("src", "dst", "w").cache()
+    else:
+        import __spark_entry__ as entry_mod
+
+        edges = entry_mod.ps_edges(spark, sf_dir).cache()
+    n_edges = edges.count()
+
+    # warmup: JVM/codegen (one cheap job)
+    edges.groupBy("dst").count().count()
+
+    runner = SuperstepRunner(spark)
+    t0 = time.time()
+    pr = pagerank(
+        edges, tol=1e-6, max_iterations=100, split=True, threshold=256,
+        alpha=2, level=6, runner=runner,
+    )
+    rows = pr.count()
+    sec = time.time() - t0
+    iters = len(runner.metrics)
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_edges": n_edges,
+        "vertices": rows,
+        "iterations": iters,
+        "converged": runner.converged,
+        "wall_sec": round(sec, 2),
+        "iters_per_min": round(iters / (sec / 60.0), 2),
+    }
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--level":
+        cores = int(sys.argv[2])
+        sf_dir = sys.argv[3]
+        n_files = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+        print(json.dumps(run_level(cores, sf_dir, n_files)))
+        return
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    n_files = int(os.environ.get("SCALING_N_FILES", "4000000"))
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--level", str(cores), sf_dir, str(n_files)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+
+    eff = results[32]["iters_per_min"] / (4 * results[8]["iters_per_min"])
+    report = {
+        "sf_dir": sf_dir,
+        "levels": results,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    out_path = REPO / "BENCH" / "scaling.json"
+    out_path.parent.mkdir(exist_ok=True)
+    out_path.write_text(json.dumps(report, indent=2))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
