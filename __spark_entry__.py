@@ -162,9 +162,9 @@ def _q_triangle(spark, sf_dir):
 
 
 def _q_jaccard(spark, sf_dir):
-    j = jaccard(cooc_edges(spark, sf_dir))
-    # integer numerator/denominator — exact across engines; recompute the
-    # counts the same way the engine does internally
+    # integer numerator/denominator — exact across engines; same
+    # construction as gelly_partitioning_spark.algorithms.jaccard but
+    # emitting (common_cnt, union_cnt) instead of the double ratio
     from gelly_partitioning_spark.graph import canonical_edges, degrees, undirected
 
     edges = cooc_edges(spark, sf_dir)
@@ -256,6 +256,26 @@ def _q_cosine_topk(spark, sf_dir):
     return t.select("id", "neighbor", F.col("cos").cast("decimal(18,6)").alias("cos"), "rk")
 
 
+def _q_windowed_events(spark, sf_dir):
+    from gelly_partitioning_spark.streaming import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("decimal(18,6)").alias("sum_value"),
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    from gelly_partitioning_spark.streaming import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_count": _q_degree,
@@ -272,6 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_near_dup": _q_token_jaccard,
         "minhash_lsh": _q_minhash,
         "cosine_topk": _q_cosine_topk,
+        "windowed_event_counts": _q_windowed_events,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -432,5 +454,20 @@ def oracle_sql() -> dict[str, str]:
         "ranked AS (SELECT id, neighbor, cos, ROW_NUMBER() OVER "
         "(PARTITION BY id ORDER BY cos DESC, neighbor ASC) AS rk FROM pairs) "
         "SELECT id, neighbor, cos, rk FROM ranked WHERE rk <= 3"
+    )
+    sql["windowed_event_counts"] = (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "COUNT(*) AS n_events, CAST(SUM(value) AS DECIMAL(18,6)) AS sum_value "
+        "FROM events GROUP BY date_trunc('hour', ts), event_type"
+    )
+    sql["sessionize"] = (
+        "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL THEN 1 "
+        "WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, SUM(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS session_seq FROM g) "
+        "SELECT user_id, CAST(session_seq AS BIGINT) AS session_id, "
+        "MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events "
+        "FROM s GROUP BY user_id, session_seq"
     )
     return sql

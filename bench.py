@@ -86,7 +86,7 @@ def main() -> None:
     timed("triangle_count", lambda: entry_mod._q_triangle(spark, sf_dir).collect())
     timed("token_count", lambda: token_count(docs).count())
     timed("minhash_lsh", lambda: minhash_lsh_candidates(docs).count())
-    timed("cosine_topk", lambda: cosine_topk(emb, k=3).count())
+    timed("cosine_topk", lambda: cosine_topk(emb, k=3, implementation="numpy").count())
 
     total = round(sum(timings.values()), 3)
     print(

@@ -51,7 +51,11 @@ def connected_components(
         mode=mode,
     )
     sub = sg.vertices.localCheckpoint(eager=True)  # static (id, tag)
-    e = sg.edges.select("src", "dst_tag").localCheckpoint(eager=True)
+    e = (
+        sg.edges.select("src", "dst_tag")
+        .repartition(F.col("src"))  # reused by every superstep's scatter join
+        .localCheckpoint(eager=True)
+    )
 
     comp_t = "long" if numeric_ids else "string"
     init = sub.select("tag").distinct().withColumn("component", F.col("tag").cast(comp_t))

@@ -55,7 +55,11 @@ def label_propagation(
         mode=mode,
     )
     sub = sg.vertices.localCheckpoint(eager=True)
-    e = sg.edges.select("src", "dst_tag", "w").localCheckpoint(eager=True)
+    e = (
+        sg.edges.select("src", "dst_tag", "w")
+        .repartition(F.col("src"))  # reused by every superstep's scatter join
+        .localCheckpoint(eager=True)
+    )
 
     label0 = F.coalesce(F.col("tag").cast("long"), F.xxhash64("tag"))
     init = (

@@ -50,9 +50,16 @@ def pagerank(
         level=level,
         mode=mode,
     )
-    # Static per-superstep inputs: sub-vertex table and routing edges.
+    # Static per-superstep inputs. Pre-hash-partition the routing edges by
+    # the scatter-join key and localCheckpoint: LogicalRDD preserves the
+    # partitioning, so every superstep's edge-side exchange is elided —
+    # only the (vertex-sized) rank table shuffles per iteration.
     sub = sg.vertices.localCheckpoint(eager=True)
-    e = sg.edges.select("src", "dst_tag").localCheckpoint(eager=True)
+    e = (
+        sg.edges.select("src", "dst_tag")
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=True)
+    )
 
     # Undirected degree per original vertex = #rows with src_tag == tag.
     deg = (
@@ -65,8 +72,11 @@ def pagerank(
 
     init = deg.select("tag", F.lit(1.0 / n).alias("rank"))
     # contribution weight rank/deg travels with each sub-vertex
-    sub_deg = sub.join(deg, "tag").select(F.col("id").alias("src"), "tag", "deg") \
+    sub_deg = (
+        sub.join(deg, "tag")
+        .select(F.col("id").alias("src"), "tag", "deg")
         .localCheckpoint(eager=True)
+    )
 
     check_conv = fixed_iterations is None
     iters = fixed_iterations if fixed_iterations is not None else max_iterations

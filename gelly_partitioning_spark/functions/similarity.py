@@ -52,8 +52,21 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    implementation: str = "sql",
 ) -> DataFrame:
-    """(id, neighbor, cos) — exact top-k cosine neighbors per vector."""
+    """(id, neighbor, cos, rk) — exact top-k cosine neighbors per vector.
+
+    implementation='sql'   — pure Column-expression dot products: bitwise
+        deterministic fold order, used by the DuckDB-oracle query.
+    implementation='numpy' — Arrow-batched ``mapInPandas``: the reference
+        matrix is broadcast once and each batch does one BLAS matmul +
+        argpartition. ~10-100x faster; float64 accumulation order differs
+        from the SQL fold only in the last ulp. This is the scale path for
+        a broadcastable reference set (beyond that, use ``ann_lsh_topk``
+        or shard the reference matrix and merge per-shard top-k).
+    """
+    if implementation == "numpy":
+        return _cosine_topk_numpy(df, vec_col, id_col, k)
     u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
     a = u.select(F.col("id").alias("id_a"), F.col("_unit").alias("va"))
     b = u.select(F.col("id").alias("id_b"), F.col("_unit").alias("vb"))
@@ -68,6 +81,52 @@ def cosine_topk(
         .filter(F.col("rk") <= k)
         .select(F.col("id_a").alias("id"), F.col("id_b").alias("neighbor"), "cos", "rk")
     )
+
+
+def _cosine_topk_numpy(df: DataFrame, vec_col: str, id_col: str, k: int) -> DataFrame:
+    """Broadcast-matrix top-k: one matmul per Arrow batch."""
+    import numpy as np
+
+    spark = df.sparkSession
+    ref = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    ids = np.array([r["id"] for r in ref])
+    M = np.array([r["v"] for r in ref], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    M /= norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def batches(it):
+        import pandas as pd
+
+        ids_b, M_b = bc.value
+        pos = {v: i for i, v in enumerate(ids_b)}
+        for pdf in it:
+            Q = np.array(list(pdf["v"]), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1)
+            qn[qn == 0] = 1.0
+            Q /= qn[:, None]
+            S = Q @ M_b.T  # (batch, n_ref)
+            out_id, out_nb, out_cos, out_rk = [], [], [], []
+            for row_i, qid in enumerate(pdf["id"]):
+                s = S[row_i].copy()
+                if qid in pos:
+                    s[pos[qid]] = -np.inf  # exclude self
+                take = min(k, len(s) - 1)
+                idx = np.argpartition(-s, take - 1)[:take]
+                # order by (-cos, neighbor id) to match the SQL flavor
+                order = sorted(idx, key=lambda j: (-s[j], ids_b[j]))
+                for rk, j in enumerate(order, start=1):
+                    out_id.append(qid)
+                    out_nb.append(ids_b[j])
+                    out_cos.append(round(float(s[j]), 6))
+                    out_rk.append(rk)
+            yield pd.DataFrame(
+                {"id": out_id, "neighbor": out_nb, "cos": out_cos, "rk": out_rk}
+            )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(batches, "id long, neighbor long, cos double, rk int")
 
 
 def _hyperplane_sign(unit_col, plane: int, dim: int):

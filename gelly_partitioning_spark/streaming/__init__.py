@@ -1,0 +1,13 @@
+from .stream_ops import (
+    incremental_degrees,
+    sessionize,
+    stream_edges_from_directory,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "incremental_degrees",
+    "sessionize",
+    "stream_edges_from_directory",
+    "windowed_event_counts",
+]

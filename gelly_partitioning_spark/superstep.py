@@ -78,7 +78,10 @@ class SuperstepRunner:
         self.converged = False
         for i in range(start_iteration, max_iterations + 1):
             t0 = time.time()
-            new_state = step(state, i).localCheckpoint(eager=True)
+            # lazy localCheckpoint: the convergence agg below is the one
+            # materializing action per superstep — it computes the new
+            # state, caches it, and truncates lineage in a single job
+            new_state = step(state, i).localCheckpoint(eager=False)
             has_flag = CHANGED in new_state.columns
             if has_flag:
                 agg = new_state.agg(

@@ -137,6 +137,25 @@ def test_cosine_topk_on_embeddings(embeddings):
     assert all(-1.0 - 1e-6 <= r["cos"] <= 1.0 + 1e-6 for r in rows)
 
 
+def test_cosine_topk_numpy_matches_sql(embeddings):
+    sub = embeddings.limit(50).cache()
+    sql_rows = {
+        (r["id"], r["rk"]): (r["neighbor"], r["cos"])
+        for r in cosine_topk(sub, k=3, implementation="sql").collect()
+    }
+    np_rows = {
+        (r["id"], r["rk"]): (r["neighbor"], r["cos"])
+        for r in cosine_topk(sub, k=3, implementation="numpy").collect()
+    }
+    assert set(sql_rows) == set(np_rows)
+    for key, (nb, cos) in sql_rows.items():
+        nb2, cos2 = np_rows[key]
+        assert abs(cos - cos2) < 1e-5
+        # neighbor may differ only on cos ties
+        if nb != nb2:
+            assert abs(cos - cos2) < 1e-5
+
+
 def test_ann_recall_vs_bruteforce(embeddings):
     sub = embeddings.limit(80).cache()
     exact = {(r["id"], r["neighbor"]) for r in cosine_topk(sub, k=3).collect()}
