@@ -44,7 +44,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from .graph import degrees, undirected
+from .graph import undirected
 
 # Sub-vertex id separator. The reference uses '_' (SplitVertex.java:88);
 # we use '#' so engine-derived ids like 'p_12' can never collide.
@@ -102,9 +102,14 @@ def split_graph(
     Returns undirected-expanded routing edges whose skewed endpoints are
     rewritten to sub-vertex ids, plus the (id, tag) sub-vertex table.
     """
-    und = undirected(edges)
+    # One shared, lazily-materialized undirected set: the degree pass and
+    # the rewrite pass would otherwise each re-run the upstream scan +
+    # distinct (the explain audit showed the subtree duplicated).
+    und = undirected(edges).localCheckpoint(eager=False)
     if degree_df is None:
-        degree_df = degrees(edges)
+        degree_df = und.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").cast("long").alias("degree")
+        )
     if mode == "flat":
         e = _split_flat(und, degree_df, threshold, alpha, level)
     elif mode == "tree":

@@ -34,7 +34,7 @@ def audit(name: str, df, expect_broadcast=False, allow_cartesian=False):
         notes.append("!! CartesianProduct")
     if expect_broadcast and "BroadcastHashJoin" not in p:
         notes.append("!! no BroadcastHashJoin")
-    n_codegen = p.count("WholeStageCodegen")
+    n_codegen = p.count("codegen id")
     n_exchange = p.count("Exchange")
     readschema = [l.strip() for l in p.splitlines() if "ReadSchema" in l][:2]
     print(f"== {name}: exchanges={n_exchange} codegen_spans={n_codegen} {' '.join(notes)}")

@@ -38,8 +38,8 @@ def run_level(cores: int, sf_dir: str, n_files: int) -> dict:
         # engine-native input: repo-path co-occurrence graph, synthesized
         # deterministically — identical rows at any parallelism level
         rf = synthesize_repo_files(
-            spark, n_files=n_files, n_repos=max(200, n_files // 2000),
-            n_paths=max(1000, n_files // 200),
+            spark, n_files=n_files, n_repos=max(200, n_files // 1000),
+            n_paths=max(1000, n_files // 100),
         )
         edges = extract_edges(rf).select("src", "dst", "w").cache()
     else:
@@ -53,8 +53,11 @@ def run_level(cores: int, sf_dir: str, n_files: int) -> dict:
 
     runner = SuperstepRunner(spark)
     t0 = time.time()
+    # fixed iteration count: throughput (iters/min) is the metric, and a
+    # fixed count keeps both legs' work identical without waiting for the
+    # full convergence tail
     pr = pagerank(
-        edges, tol=1e-6, max_iterations=100, split=True, threshold=256,
+        edges, fixed_iterations=15, split=True, threshold=256,
         alpha=2, level=6, runner=runner,
     )
     rows = pr.count()
@@ -83,7 +86,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    n_files = int(os.environ.get("SCALING_N_FILES", "4000000"))
+    n_files = int(os.environ.get("SCALING_N_FILES", "20000000"))
     results = {}
     for cores in (8, 32):
         out = subprocess.run(
