@@ -61,13 +61,15 @@ def connected_components(
     init = sub.select("tag").distinct().withColumn("component", F.col("tag").cast(comp_t))
 
     def step(state: DataFrame, i: int):
-        sub_state = sub.join(state, "tag").select(F.col("id").alias("src"), "component")
+        sub_state = sub.join(state.hint("shuffle_hash"), "tag").select(
+            F.col("id").alias("src"), "component"
+        )
         msgs = (
-            e.join(sub_state, "src")
+            e.join(sub_state.hint("shuffle_hash"), "src")
             .groupBy(F.col("dst_tag").alias("tag"))
             .agg(F.min("component").alias("msg"))
         )
-        return state.join(msgs, "tag", "left").select(
+        return state.join(msgs.hint("shuffle_hash"), "tag", "left").select(
             "tag",
             F.least(F.col("component"), F.coalesce("msg", "component")).alias("component"),
             (F.col("msg") < F.col("component")).alias(CHANGED),

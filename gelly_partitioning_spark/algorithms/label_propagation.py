@@ -69,10 +69,10 @@ def label_propagation(
     )
 
     def step(state: DataFrame, i: int):
-        sub_state = sub.join(state, "tag").select(
+        sub_state = sub.join(state.hint("shuffle_hash"), "tag").select(
             F.col("id").alias("src"), "label", "score"
         )
-        msgs = e.join(sub_state, "src").select(
+        msgs = e.join(sub_state.hint("shuffle_hash"), "src").select(
             F.col("dst_tag").alias("tag"), "label", (F.col("score") * F.col("w")).alias("ms")
         )
         per_label = msgs.groupBy("tag", "label").agg(
@@ -88,7 +88,7 @@ def label_propagation(
             F.col("b.max_s").alias("new_max"),
         )
         return (
-            state.join(best, "tag", "left")
+            state.join(best.hint("shuffle_hash"), "tag", "left")
             .select(
                 "tag",
                 F.coalesce("new_label", "label").alias("_lbl"),

@@ -13,14 +13,24 @@ Scale notes:
 - scatter join keyed on the *salted* src sub-vertex id — balanced;
 - rank/deg contributions summed with groupBy(dst_tag): sum is reducible so
   map-side partial aggregation bounds the hub's reduce fan-in;
+- iterative hot path runs on xxhash64-encoded LONG keys (collision-checked,
+  see encoding.py) — 8-byte keys cut shuffle bytes and hash cost ~3-4x vs
+  the raw string ids; results decode through the tag dictionary at the end;
+- shuffle_hash join hints: every build side is vertex-sized, and sort-merge
+  would re-sort the 2|E| edge side per superstep;
 - convergence = L∞(new-old) ≤ tol, folded into the same superstep action
   via the runner's ``_changed`` flag (no second pass).
+
+PageRank values are invariant under the id encoding (ranks attach to tags;
+only join keys change), so the NumPy-oracle and plain≡split tests cover
+both paths; ``use_long_ids=False`` forces the string path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..encoding import IdCollisionError, decode, encode_split_graph
 from ..graph import normalize_edges
 from ..splitting import split_graph
 from ..superstep import CHANGED, SuperstepRunner
@@ -37,6 +47,8 @@ def pagerank(
     alpha: int = 2,
     level: int = 4,
     mode: str = "flat",
+    use_long_ids: bool = True,
+    broadcast_threshold_vertices: int = 10_000_000,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
     """(id, rank). ``fixed_iterations`` disables the tolerance check (used
@@ -50,20 +62,33 @@ def pagerank(
         level=level,
         mode=mode,
     )
+
+    tag_dict = None
+    if use_long_ids:
+        try:
+            eg = encode_split_graph(sg)
+            sub_raw, e_raw, tag_dict = eg.vertices, eg.edges, eg.tag_dict
+        except IdCollisionError:
+            use_long_ids = False
+    if not use_long_ids:
+        sub_raw, e_raw = sg.vertices, sg.edges.select("src", "dst_tag", "w")
+
     # Static per-superstep inputs. Pre-hash-partition the routing edges by
     # the scatter-join key and localCheckpoint: LogicalRDD preserves the
     # partitioning, so every superstep's edge-side exchange is elided —
     # only the (vertex-sized) rank table shuffles per iteration.
-    sub = sg.vertices.localCheckpoint(eager=True)
+    sub = sub_raw.localCheckpoint(eager=True)
     e = (
-        sg.edges.select("src", "dst_tag")
+        e_raw.select("src", "dst_tag")
         .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
 
-    # Undirected degree per original vertex = #rows with src_tag == tag.
+    # Undirected degree per original vertex: on the undirected-expanded set
+    # the in-rows of a tag equal its out-rows, so groupBy(dst_tag) works on
+    # both the encoded and string representations.
     deg = (
-        sg.edges.groupBy(F.col("src_tag").alias("tag"))
+        e.groupBy(F.col("dst_tag").alias("tag"))
         .agg(F.count("*").cast("double").alias("deg"))
         .localCheckpoint(eager=True)
     )
@@ -73,7 +98,7 @@ def pagerank(
     init = deg.select("tag", F.lit(1.0 / n).alias("rank"))
     # contribution weight rank/deg travels with each sub-vertex
     sub_deg = (
-        sub.join(deg, "tag")
+        sub.join(deg.withColumnRenamed("tag", "t"), sub["tag"] == F.col("t"))
         .select(F.col("id").alias("src"), "tag", "deg")
         .localCheckpoint(eager=True)
     )
@@ -81,23 +106,49 @@ def pagerank(
     check_conv = fixed_iterations is None
     iters = fixed_iterations if fixed_iterations is not None else max_iterations
 
+    # Two scatter strategies:
+    # - broadcast-state (V ≤ threshold): the rank table (~16 B/vertex) is
+    #   broadcast and map-joined against a static (dst_tag, tag, deg) edge
+    #   table — the 2|E| side never shuffles; the only shuffle per
+    #   superstep is the V-sized gather partials. Local/medium clusters.
+    # - salted shuffle (V > threshold): state too big to broadcast —
+    #   sub-vertex routing (the reference's Split-Merge) with shuffle_hash
+    #   hints (build sides are vertex-sized; SMJ would re-sort the edge
+    #   side each superstep — measured 2-3x slower in superstep_tune.py).
+    use_broadcast = n <= broadcast_threshold_vertices
+    if use_broadcast:
+        e2 = (
+            e.join(sub_deg.hint("shuffle_hash"), "src")
+            .select("dst_tag", "tag", "deg")
+            .localCheckpoint(eager=True)
+        )
+
     def step(state: DataFrame, i: int):
-        sub_rank = sub_deg.join(state, "tag").select(
-            "src", (F.col("rank") / F.col("deg")).alias("contrib")
-        )
-        msgs = (
-            e.join(sub_rank, "src")
-            .groupBy(F.col("dst_tag").alias("tag"))
-            .agg(F.sum("contrib").alias("mass"))
-        )
+        if use_broadcast:
+            msgs = (
+                e2.join(F.broadcast(state), "tag")
+                .groupBy(F.col("dst_tag").alias("tag"))
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
+            )
+        else:
+            sub_rank = sub_deg.join(state.hint("shuffle_hash"), "tag").select(
+                "src", (F.col("rank") / F.col("deg")).alias("contrib")
+            )
+            msgs = (
+                e.join(sub_rank.hint("shuffle_hash"), "src")
+                .groupBy(F.col("dst_tag").alias("tag"))
+                .agg(F.sum("contrib").alias("mass"))
+            )
         new_rank = F.lit(base) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
         cols = ["tag", new_rank.alias("rank")]
         if check_conv:
             # F.col('rank') here is the *input* (old) rank — the alias above
             # only names the output column.
             cols.append((F.abs(new_rank - F.col("rank")) > tol).alias(CHANGED))
-        return state.join(msgs, "tag", "left").select(*cols)
+        return state.join(msgs.hint("shuffle_hash"), "tag", "left").select(*cols)
 
     runner = runner or SuperstepRunner(spark)
     final = runner.run(init, step, iters)
+    if tag_dict is not None:
+        final = decode(final, tag_dict, col="tag")
     return final.select(F.col("tag").alias("id"), "rank")
