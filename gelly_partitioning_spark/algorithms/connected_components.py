@@ -38,6 +38,7 @@ def connected_components(
     level: int = 4,
     mode: str = "flat",
     numeric_ids: bool = False,
+    broadcast_threshold_vertices: int = 10_000_000,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
     """(id, component) at convergence (or max_iterations)."""
@@ -51,24 +52,43 @@ def connected_components(
         mode=mode,
     )
     sub = sg.vertices.localCheckpoint(eager=True)  # static (id, tag)
-    e = (
-        sg.edges.select("src", "dst_tag")
-        .repartition(F.col("src"))  # reused by every superstep's scatter join
-        .localCheckpoint(eager=True)
-    )
 
     comp_t = "long" if numeric_ids else "string"
     init = sub.select("tag").distinct().withColumn("component", F.col("tag").cast(comp_t))
+    init = init.localCheckpoint(eager=True)
+    n = init.count()
+
+    # broadcast-state scatter when the component table fits (see
+    # pagerank.py — same two-strategy rationale)
+    use_broadcast = n <= broadcast_threshold_vertices
+    if use_broadcast:
+        e = (
+            sg.edges.select("src_tag", "dst_tag")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        e = (
+            sg.edges.select("src", "dst_tag")
+            .repartition(F.col("src"))  # reused by every superstep's scatter join
+            .localCheckpoint(eager=True)
+        )
 
     def step(state: DataFrame, i: int):
-        sub_state = sub.join(state.hint("shuffle_hash"), "tag").select(
-            F.col("id").alias("src"), "component"
-        )
-        msgs = (
-            e.join(sub_state.hint("shuffle_hash"), "src")
-            .groupBy(F.col("dst_tag").alias("tag"))
-            .agg(F.min("component").alias("msg"))
-        )
+        if use_broadcast:
+            msgs = (
+                e.join(F.broadcast(state), e["src_tag"] == state["tag"])
+                .groupBy(F.col("dst_tag").alias("tag"))
+                .agg(F.min("component").alias("msg"))
+            )
+        else:
+            sub_state = sub.join(state.hint("shuffle_hash"), "tag").select(
+                F.col("id").alias("src"), "component"
+            )
+            msgs = (
+                e.join(sub_state.hint("shuffle_hash"), "src")
+                .groupBy(F.col("dst_tag").alias("tag"))
+                .agg(F.min("component").alias("msg"))
+            )
         return state.join(msgs.hint("shuffle_hash"), "tag", "left").select(
             "tag",
             F.least(F.col("component"), F.coalesce("msg", "component")).alias("component"),

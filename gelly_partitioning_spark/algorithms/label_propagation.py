@@ -40,6 +40,7 @@ def label_propagation(
     alpha: int = 2,
     level: int = 4,
     mode: str = "flat",
+    broadcast_threshold_vertices: int = 10_000_000,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
     """(id, label) — community label per vertex. Labels are the numeric
@@ -55,26 +56,42 @@ def label_propagation(
         mode=mode,
     )
     sub = sg.vertices.localCheckpoint(eager=True)
-    e = (
-        sg.edges.select("src", "dst_tag", "w")
-        .repartition(F.col("src"))  # reused by every superstep's scatter join
-        .localCheckpoint(eager=True)
-    )
 
     label0 = F.coalesce(F.col("tag").cast("long"), F.xxhash64("tag"))
     init = (
         sub.select("tag")
         .distinct()
         .select("tag", label0.alias("label"), F.lit(1.0).alias("score"))
+        .localCheckpoint(eager=True)
     )
+    n = init.count()
+
+    use_broadcast = n <= broadcast_threshold_vertices
+    if use_broadcast:
+        e = sg.edges.select("src_tag", "dst_tag", "w").localCheckpoint(eager=True)
+    else:
+        e = (
+            sg.edges.select("src", "dst_tag", "w")
+            .repartition(F.col("src"))  # reused by every superstep's scatter join
+            .localCheckpoint(eager=True)
+        )
 
     def step(state: DataFrame, i: int):
-        sub_state = sub.join(state.hint("shuffle_hash"), "tag").select(
-            F.col("id").alias("src"), "label", "score"
-        )
-        msgs = e.join(sub_state.hint("shuffle_hash"), "src").select(
-            F.col("dst_tag").alias("tag"), "label", (F.col("score") * F.col("w")).alias("ms")
-        )
+        if use_broadcast:
+            msgs = e.join(
+                F.broadcast(state), e["src_tag"] == state["tag"]
+            ).select(
+                F.col("dst_tag").alias("tag"),
+                "label",
+                (F.col("score") * F.col("w")).alias("ms"),
+            )
+        else:
+            sub_state = sub.join(state.hint("shuffle_hash"), "tag").select(
+                F.col("id").alias("src"), "label", "score"
+            )
+            msgs = e.join(sub_state.hint("shuffle_hash"), "src").select(
+                F.col("dst_tag").alias("tag"), "label", (F.col("score") * F.col("w")).alias("ms")
+            )
         per_label = msgs.groupBy("tag", "label").agg(
             F.sum("ms").alias("sum_s"), F.max("ms").alias("max_s")
         )

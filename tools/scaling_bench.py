@@ -25,23 +25,39 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+EDGE_CACHE = "/tmp/gps_scaling_edges"
+
+
+def materialize_edges(n_files: int) -> str:
+    """Synthesize + extract ONCE at full parallelism; both legs read the
+    same parquet (identical input is the point of the comparison)."""
+    sys.path.insert(0, str(REPO))
+    from gelly_partitioning_spark import get_spark
+    from gelly_partitioning_spark.sources import extract_edges, synthesize_repo_files
+
+    path = f"{EDGE_CACHE}_{n_files}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    spark = get_spark(app_name="scaling-prep", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    rf = synthesize_repo_files(
+        spark, n_files=n_files, n_repos=max(200, n_files // 1000),
+        n_paths=max(1000, n_files // 100),
+    )
+    extract_edges(rf).select("src", "dst", "w").write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
 def run_level(cores: int, sf_dir: str, n_files: int) -> dict:
     sys.path.insert(0, str(REPO))
     from gelly_partitioning_spark import get_spark, pagerank
-    from gelly_partitioning_spark.sources import extract_edges, synthesize_repo_files
-
     from gelly_partitioning_spark.superstep import SuperstepRunner
 
     spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     if n_files > 0:
-        # engine-native input: repo-path co-occurrence graph, synthesized
-        # deterministically — identical rows at any parallelism level
-        rf = synthesize_repo_files(
-            spark, n_files=n_files, n_repos=max(200, n_files // 1000),
-            n_paths=max(1000, n_files // 100),
-        )
-        edges = extract_edges(rf).select("src", "dst", "w").cache()
+        edges = spark.read.parquet(f"{EDGE_CACHE}_{n_files}").cache()
     else:
         import __spark_entry__ as entry_mod
 
@@ -57,7 +73,7 @@ def run_level(cores: int, sf_dir: str, n_files: int) -> dict:
     # fixed count keeps both legs' work identical without waiting for the
     # full convergence tail
     pr = pagerank(
-        edges, fixed_iterations=30, split=True, threshold=256,
+        edges, fixed_iterations=20, split=True, threshold=256,
         alpha=2, level=6, runner=runner,
     )
     rows = pr.count()
@@ -66,7 +82,7 @@ def run_level(cores: int, sf_dir: str, n_files: int) -> dict:
     per = [m.wall_sec for m in runner.metrics]
     # steady state: drop the JIT/codegen warmup (first 8 supersteps decay
     # ~10x; production runs are 50-100 supersteps where steady dominates)
-    tail = sorted(per[8:])
+    tail = sorted(per[6:])
     steady = tail[len(tail) // 2]
     spark.stop()
     return {
@@ -95,6 +111,8 @@ def main():
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     n_files = int(os.environ.get("SCALING_N_FILES", "20000000"))
+    if n_files > 0:
+        materialize_edges(n_files)
     results = {}
     for cores in (8, 32):
         out = subprocess.run(
