@@ -73,8 +73,11 @@ def run_level(cores: int, sf_dir: str, n_files: int) -> dict:
     # fixed count keeps both legs' work identical without waiting for the
     # full convergence tail
     pr = pagerank(
-        edges, fixed_iterations=20, split=True, threshold=256,
-        alpha=2, level=6, runner=runner,
+        edges, fixed_iterations=int(os.environ.get("SCALING_ITERS", "20")),
+        split=True, threshold=256, alpha=2, level=6, runner=runner,
+        broadcast_threshold_vertices=int(
+            os.environ.get("SCALING_BROADCAST_V", str(10_000_000))
+        ),
     )
     rows = pr.count()
     sec = time.time() - t0
