@@ -12,9 +12,13 @@ value-hash matches):
 - exact-rational results (Jaccard, ratios) are emitted as *integer*
   numerator/denominator counts — bit-exact in any engine;
 - generic doubles (PageRank mass, cosine) are emitted as
-  ``CAST(x AS DECIMAL(18,6))``: the Spark and SQL expression trees are
-  written identically, so the pre-cast doubles are IEEE-identical and the
-  decimal conversion agrees;
+  ``CAST(CAST(x AS DECIMAL(18,6)) AS DOUBLE)``: the Spark and SQL
+  expression trees are written identically, so the pre-cast doubles are
+  IEEE-identical; the decimal cast fixes the rounding convention at 6
+  decimals (proven string-equal across engines) and the outer double cast
+  hands the driver's hasher the same float64 bits from both engines
+  (Decimal objects vs floats render differently, e.g. ``0.000071`` vs
+  ``7.1e-05`` — the round-1 hash_match failures);
 - portable hashing uses md5/sha2 hex (identical in Spark and DuckDB) —
   never engine-specific hash functions.
 """
@@ -50,6 +54,13 @@ from gelly_partitioning_spark.functions import (  # noqa: E402
 # ---------------------------------------------------------------------------
 # Shared edge derivations (Spark + SQL must match token-for-token)
 # ---------------------------------------------------------------------------
+
+
+def _dec6(col):
+    """Order-robust double emission: round via DECIMAL(18,6) (HALF_UP, the
+    convention the DuckDB oracle reproduces exactly), then back to DOUBLE so
+    both engines hand the driver identical float64 values."""
+    return col.cast("decimal(18,6)").cast("double")
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,6 +130,29 @@ _UND_SQL = (
 )
 
 
+def lp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same part–supplier graph with *numeric string* ids (suppliers offset
+    by 10^6) so community-detection labels are portable longs in both
+    engines (the engine's label0 = CAST(tag AS LONG); the reference's
+    labels are Long vertex ids, CommunityDetection.java:135-140).
+    SQL twin: LP_EDGES_SQL."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.select(
+            F.col("l_partkey").cast("long").cast("string").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(1000000)).cast("string").alias("dst"),
+        )
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+    )
+
+
+LP_EDGES_SQL = (
+    "SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS src, "
+    "CAST(l_suppkey + 1000000 AS VARCHAR) AS dst FROM lineitem"
+)
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -128,7 +162,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: split-path PageRank over the skewed part–supplier graph."""
     edges = ps_edges(spark, "/root/testdata/sf0.001")
     pr = pagerank(edges, tol=1e-6, max_iterations=60, split=True, threshold=64)
-    return pr.select("id", F.col("rank").cast("decimal(18,6)").alias("rank"))
+    return pr.select("id", _dec6(F.col("rank")).alias("rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -150,7 +184,7 @@ def _q_pagerank(spark, sf_dir):
     pr = pagerank(
         ps_edges(spark, sf_dir), fixed_iterations=10, split=True, threshold=64, alpha=2, level=6
     )
-    return pr.select("id", F.col("rank").cast("decimal(18,6)").alias("rank"))
+    return pr.select("id", _dec6(F.col("rank")).alias("rank"))
 
 
 def _q_skew_census(spark, sf_dir):
@@ -199,9 +233,7 @@ def _q_token_count(spark, sf_dir):
 
 def _q_quality(spark, sf_dir):
     q = quality_score(_documents(spark, sf_dir))
-    return q.select(
-        "doc_id", "n_chars", "n_tokens", F.col("quality").cast("decimal(18,6)").alias("quality")
-    )
+    return q.select("doc_id", "n_chars", "n_tokens", _dec6(F.col("quality")).alias("quality"))
 
 
 def _q_lang_id(spark, sf_dir):
@@ -253,7 +285,7 @@ def _q_minhash(spark, sf_dir):
 
 def _q_cosine_topk(spark, sf_dir):
     t = cosine_topk(_embeddings(spark, sf_dir), k=3)
-    return t.select("id", "neighbor", F.col("cos").cast("decimal(18,6)").alias("cos"), "rk")
+    return t.select("id", "neighbor", _dec6(F.col("cos")).alias("cos"), "rk")
 
 
 def _q_windowed_events(spark, sf_dir):
@@ -262,11 +294,44 @@ def _q_windowed_events(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = windowed_event_counts(ev, window="1 hour")
     return out.select(
-        "window_start",
-        "event_type",
-        "n_events",
-        F.col("sum_value").cast("decimal(18,6)").alias("sum_value"),
+        "window_start", "event_type", "n_events", _dec6(F.col("sum_value")).alias("sum_value")
     )
+
+
+def _q_community(spark, sf_dir):
+    from gelly_partitioning_spark import label_propagation
+
+    lp = label_propagation(
+        lp_edges(spark, sf_dir),
+        delta=0.5,
+        max_iterations=5,
+        split=True,
+        threshold=64,
+        alpha=2,
+        level=6,
+    )
+    return lp.select("id", F.col("label").cast("long").alias("label"))
+
+
+def _q_simhash(spark, sf_dir):
+    from gelly_partitioning_spark.functions import simhash
+
+    return simhash(_documents(spark, sf_dir))
+
+
+def _q_neighborhoods(spark, sf_dir):
+    from gelly_partitioning_spark.algorithms import neighbor_sets
+
+    return neighbor_sets(
+        ps_edges(spark, sf_dir), split=True, threshold=64, alpha=2, level=6
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from gelly_partitioning_spark.functions import ann_lsh_topk
+
+    t = ann_lsh_topk(_embeddings(spark, sf_dir), k=3, n_planes=4, n_tables=8)
+    return t.select("id", "neighbor", _dec6(F.col("cos")).alias("cos"), "rk")
 
 
 def _q_sessionize(spark, sf_dir):
@@ -292,8 +357,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_near_dup": _q_token_jaccard,
         "minhash_lsh": _q_minhash,
         "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh,
         "windowed_event_counts": _q_windowed_events,
         "sessionize": _q_sessionize,
+        "community_detection": _q_community,
+        "simhash": _q_simhash,
+        "vertex_neighborhoods": _q_neighborhoods,
     }
 
 
@@ -322,7 +391,47 @@ def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
     parts_sql = ", ".join(parts[1:])
     return (
         parts[0] + ", " + parts_sql +
-        f" SELECT id, CAST(r AS DECIMAL(18,6)) AS rank FROM r{iterations}"
+        f" SELECT id, CAST(CAST(r AS DECIMAL(18,6)) AS DOUBLE) AS rank FROM r{iterations}"
+    )
+
+
+def _community_sql(iterations: int = 5, delta: float = 0.5) -> str:
+    """Unrolled weighted-label-propagation oracle (like _pagerank_sql).
+
+    Per-superstep semantics mirror label_propagation token-for-token
+    (library/CommunityDetection.java:58-112): sum/max per (vertex, label),
+    argmax with smallest-label tie-break, delta/i decay on label change,
+    no-message keeps old state. Decay constants are Python-computed repr
+    literals so both engines parse the identical double."""
+    parts = [
+        f"WITH le AS ({LP_EDGES_SQL})",
+        "und AS (SELECT src, dst FROM le UNION ALL SELECT dst AS src, src AS dst FROM le)",
+        "s0 AS (SELECT DISTINCT src AS id, CAST(src AS BIGINT) AS label, "
+        "CAST(1.0 AS DOUBLE) AS score FROM und)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"s{k - 1}"
+        decay = repr(delta / k)
+        parts.append(
+            f"p{k} AS (SELECT und.dst AS id, s.label, "
+            f"SUM(s.score * CAST(1.0 AS DOUBLE)) AS sum_s, "
+            f"MAX(s.score * CAST(1.0 AS DOUBLE)) AS max_s "
+            f"FROM und JOIN {prev} s ON und.src = s.id GROUP BY und.dst, s.label)"
+        )
+        parts.append(
+            f"b{k} AS (SELECT id, label AS new_label, max_s AS new_max FROM ("
+            f"SELECT id, label, max_s, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY sum_s DESC, label ASC) AS rn FROM p{k}) t WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT s.id, COALESCE(b.new_label, s.label) AS label, "
+            f"CASE WHEN b.new_label IS NULL THEN s.score "
+            f"WHEN b.new_label <> s.label THEN b.new_max - {decay} "
+            f"ELSE b.new_max END AS score "
+            f"FROM {prev} s LEFT JOIN b{k} b ON s.id = b.id)"
+        )
+    return (
+        ", ".join(parts) + f" SELECT id, label FROM s{iterations}"
     )
 
 
@@ -385,7 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, length(text) AS n_chars, "
         "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
         f"len({_TOK_SQL}) END AS n_tokens, "
-        "CAST("
+        "CAST(CAST("
         "LEAST(CAST(1.0 AS DOUBLE), (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
         f"len({_TOK_SQL}) END) / CAST(100.0 AS DOUBLE)) * 0.5 "
         "+ (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
@@ -395,7 +504,7 @@ def oracle_sql() -> dict[str, str]:
         "+ (CASE WHEN (CASE WHEN length(text) > 0 THEN "
         "CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) "
         "/ length(text) ELSE CAST(0.0 AS DOUBLE) END) <= 0.1 THEN 0.2 ELSE 0.0 END) "
-        "AS DECIMAL(18,6)) AS quality FROM documents"
+        "AS DECIMAL(18,6)) AS DOUBLE) AS quality FROM documents"
     )
     sql["language_id"] = (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS marker FROM documents), "
@@ -449,16 +558,73 @@ def oracle_sql() -> dict[str, str]:
         "list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v "
         "FROM embeddings), "
         "pairs AS (SELECT a.id AS id, b.id AS neighbor, "
-        "CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) "
-        "AS DECIMAL(18,6)) AS cos FROM u a JOIN u b ON a.id <> b.id), "
+        "CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) "
+        "AS DECIMAL(18,6)) AS DOUBLE) AS cos FROM u a JOIN u b ON a.id <> b.id), "
         "ranked AS (SELECT id, neighbor, cos, ROW_NUMBER() OVER "
         "(PARTITION BY id ORDER BY cos DESC, neighbor ASC) AS rk FROM pairs) "
         "SELECT id, neighbor, cos, rk FROM ranked WHERE rk <= 3"
     )
     sql["windowed_event_counts"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-        "COUNT(*) AS n_events, CAST(SUM(value) AS DECIMAL(18,6)) AS sum_value "
+        "COUNT(*) AS n_events, CAST(CAST(SUM(value) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY date_trunc('hour', ts), event_type"
+    )
+    sql["community_detection"] = _community_sql(5, 0.5)
+    # simhash: 60-bit majority vote over per-token md5 bits; hex→long via
+    # DuckDB's '0x…'::BIGINT == Spark's conv(hex, 16, 10) for < 2^60
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    bits = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(60)
+    )
+    sql["simhash"] = (
+        f"WITH tok AS (SELECT DISTINCT doc_id AS id, unnest({_TOK_SQL}) AS tok FROM documents), "
+        "h AS (SELECT id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok), "
+        f"votes AS (SELECT id, {votes} FROM h GROUP BY id) "
+        f"SELECT id, ({bits}) AS simhash FROM votes"
+    )
+    sql["vertex_neighborhoods"] = (
+        f"WITH {_UND_SQL} "
+        "SELECT src AS id, list_sort(list(DISTINCT dst)) AS neighbors FROM und GROUP BY src"
+    )
+    # ann_lsh_topk: md5-derived hyperplanes are exact dyadic rationals
+    # (32-bit int / 2^32 − 1/2), so signs/buckets reproduce bit-for-bit
+    _unit_sql = (
+        "SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(list_sum("
+        "list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v "
+        "FROM embeddings"
+    )
+
+    def _sign_sql(plane: int) -> str:
+        w = (
+            f"(('0x' || substring(md5('plane{plane}:' || CAST(d AS VARCHAR)), 1, 8))::BIGINT "
+            "/ 4294967296.0 - 0.5)"
+        )
+        return (
+            "(CASE WHEN list_sum(list_transform(range(0, len(v)), "
+            f"d -> v[d + 1] * {w})) >= 0 THEN '1' ELSE '0' END)"
+        )
+
+    buckets = ", ".join(
+        "'" + f"{t}:" + "' || " + " || ".join(_sign_sql(t * 4 + p) for p in range(4))
+        for t in range(8)
+    )
+    sql["ann_lsh_topk"] = (
+        f"WITH u AS ({_unit_sql}), "
+        f"bk AS (SELECT id, unnest([{buckets}]) AS bucket FROM u), "
+        "cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b FROM bk a "
+        "JOIN bk c ON a.bucket = c.bucket AND a.id <> c.id), "
+        "pairs AS (SELECT cand.id_a, cand.id_b, "
+        "CAST(CAST(list_sum(list_transform(range(1, len(ua.v) + 1), i -> ua.v[i] * ub.v[i])) "
+        "AS DECIMAL(18,6)) AS DOUBLE) AS cos FROM cand "
+        "JOIN u ua ON cand.id_a = ua.id JOIN u ub ON cand.id_b = ub.id), "
+        "ranked AS (SELECT id_a, id_b, cos, ROW_NUMBER() OVER "
+        "(PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rk FROM pairs) "
+        "SELECT id_a AS id, id_b AS neighbor, cos, rk FROM ranked WHERE rk <= 3"
     )
     sql["sessionize"] = (
         "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL THEN 1 "

@@ -2,6 +2,7 @@ from .connected_components import connected_components
 from .degree import degree_count
 from .jaccard import jaccard, jaccard_vertex
 from .label_propagation import label_propagation
+from .neighborhoods import aggregate_neighborhoods, neighbor_sets
 from .pagerank import pagerank
 from .skew_census import skew_census
 from .triangle_count import triangle_count
@@ -12,6 +13,8 @@ __all__ = [
     "jaccard",
     "jaccard_vertex",
     "label_propagation",
+    "aggregate_neighborhoods",
+    "neighbor_sets",
     "pagerank",
     "skew_census",
     "triangle_count",

@@ -74,7 +74,9 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Hits counted on the lowercased token stream via explode + broadcast
     join against the marker lexicon (no regex-per-language scans); ties
-    break to the lexicographically smallest language; zero hits → 'und'.
+    break to the lexicographically LARGEST language (struct-max semantics,
+    mirrored by the oracle's ORDER BY hits DESC, cand_lang DESC — see the
+    comment below); zero hits → 'und'.
     """
     spark = df.sparkSession
     markers = spark.createDataFrame(
