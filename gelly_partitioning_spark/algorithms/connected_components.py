@@ -1,4 +1,5 @@
-"""Connected components: min-id label propagation to fixpoint.
+"""Connected components: min-id label propagation to fixpoint, with a
+shrinking workset (delta iteration).
 
 Reference: example/NodeSplittingConnectedComponents.java:24-104 (split
 path), library/ConnectedComponentsAlgorithm.java:22-71 (plain). Golden:
@@ -14,6 +15,17 @@ Superstep (relational gather-scatter, SURVEY.md §3.2):
            402-428). "No message keeps the old value" is the left-join +
            coalesce (util/DummyGraph.java:599-610 — SURVEY §7.4 Hard #3).
 
+Workset semantics (the reference's delta iteration,
+NodeSplittingConnectedComponents.java:55-83 ``iterateDelta(...,
+closeWith(updated, updated))``): only vertices whose component *changed
+last superstep* scatter this superstep. Correct for min-propagation —
+an unchanged vertex's previous message is already folded into every
+neighbor's running minimum, so resending is a no-op. On high-diameter
+graphs late supersteps move a handful of labels; the full-scatter variant
+still pays a 2|E| join for them, the workset variant pays
+O(|E(changed)|) — the `_active` column filters the scatter side before
+the join (and before the per-superstep broadcast on the broadcast path).
+
 Component id = min *string* id by default (engine semantics, matches the
 DuckDB oracle); ``numeric_ids=True`` compares ids as longs for reference
 fixture parity (example/NodeSplittingGSAConnectedComponents.java:172-191
@@ -26,7 +38,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..graph import normalize_edges
 from ..splitting import split_graph
-from ..superstep import CHANGED, SuperstepRunner
+from ..superstep import (
+    CHANGED,
+    DEFAULT_BROADCAST_STATE_BUDGET,
+    SuperstepRunner,
+    fits_broadcast_budget,
+)
+
+ACTIVE = "_active"
 
 
 def connected_components(
@@ -38,7 +57,8 @@ def connected_components(
     level: int = 4,
     mode: str = "flat",
     numeric_ids: bool = False,
-    broadcast_threshold_vertices: int = 10_000_000,
+    broadcast_threshold_vertices: int | None = None,
+    broadcast_state_budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
     """(id, component) at convergence (or max_iterations)."""
@@ -54,13 +74,23 @@ def connected_components(
     sub = sg.vertices.localCheckpoint(eager=True)  # static (id, tag)
 
     comp_t = "long" if numeric_ids else "string"
-    init = sub.select("tag").distinct().withColumn("component", F.col("tag").cast(comp_t))
+    init = (
+        sub.select("tag")
+        .distinct()
+        .select("tag", F.col("tag").cast(comp_t).alias("component"), F.lit(True).alias(ACTIVE))
+    )
     init = init.localCheckpoint(eager=True)
     n = init.count()
 
-    # broadcast-state scatter when the component table fits (see
-    # pagerank.py — same two-strategy rationale)
-    use_broadcast = n <= broadcast_threshold_vertices
+    # broadcast-state scatter when the state fits a per-superstep broadcast
+    # BYTE budget (row counts are the wrong unit — see superstep.py); the
+    # workset shrinks what is actually broadcast each superstep further.
+    if broadcast_threshold_vertices is not None:
+        use_broadcast = n <= broadcast_threshold_vertices
+    else:
+        use_broadcast = fits_broadcast_budget(
+            n, init.schema, broadcast_state_budget_bytes
+        )
     if use_broadcast:
         e = (
             sg.edges.select("src_tag", "dst_tag")
@@ -74,14 +104,15 @@ def connected_components(
         )
 
     def step(state: DataFrame, i: int):
+        act = state.filter(F.col(ACTIVE)).select("tag", "component")
         if use_broadcast:
             msgs = (
-                e.join(F.broadcast(state), e["src_tag"] == state["tag"])
+                e.join(F.broadcast(act), e["src_tag"] == act["tag"])
                 .groupBy(F.col("dst_tag").alias("tag"))
                 .agg(F.min("component").alias("msg"))
             )
         else:
-            sub_state = sub.join(state.hint("shuffle_hash"), "tag").select(
+            sub_state = sub.join(act.hint("shuffle_hash"), "tag").select(
                 F.col("id").alias("src"), "component"
             )
             msgs = (
@@ -89,12 +120,19 @@ def connected_components(
                 .groupBy(F.col("dst_tag").alias("tag"))
                 .agg(F.min("component").alias("msg"))
             )
+        improved = F.col("msg") < F.col("component")  # null-safe: null ⇒ no-op
         return state.join(msgs.hint("shuffle_hash"), "tag", "left").select(
             "tag",
             F.least(F.col("component"), F.coalesce("msg", "component")).alias("component"),
-            (F.col("msg") < F.col("component")).alias(CHANGED),
+            F.coalesce(improved, F.lit(False)).alias(ACTIVE),
+            improved.alias(CHANGED),
         )
 
     runner = runner or SuperstepRunner(spark)
+    if runner.fingerprint is None:
+        runner.fingerprint = (
+            f"connected_components:v2:split={split}:threshold={threshold}:"
+            f"alpha={alpha}:level={level}:mode={mode}:numeric={numeric_ids}"
+        )
     final = runner.run(init, step, max_iterations)
     return final.select(F.col("tag").alias("id"), F.col("component").cast("string"))

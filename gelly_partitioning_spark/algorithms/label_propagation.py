@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..graph import normalize_edges
 from ..splitting import split_graph
-from ..superstep import CHANGED, SuperstepRunner
+from ..superstep import (
+    CHANGED,
+    DEFAULT_BROADCAST_STATE_BUDGET,
+    SuperstepRunner,
+    fits_broadcast_budget,
+)
 
 
 def label_propagation(
@@ -40,7 +45,8 @@ def label_propagation(
     alpha: int = 2,
     level: int = 4,
     mode: str = "flat",
-    broadcast_threshold_vertices: int = 10_000_000,
+    broadcast_threshold_vertices: int | None = None,
+    broadcast_state_budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
     """(id, label) — community label per vertex. Labels are the numeric
@@ -66,7 +72,12 @@ def label_propagation(
     )
     n = init.count()
 
-    use_broadcast = n <= broadcast_threshold_vertices
+    if broadcast_threshold_vertices is not None:
+        use_broadcast = n <= broadcast_threshold_vertices
+    else:
+        use_broadcast = fits_broadcast_budget(
+            n, init.schema, broadcast_state_budget_bytes
+        )
     if use_broadcast:
         e = sg.edges.select("src_tag", "dst_tag", "w").localCheckpoint(eager=True)
     else:
@@ -125,5 +136,10 @@ def label_propagation(
         )
 
     runner = runner or SuperstepRunner(spark)
+    if runner.fingerprint is None:
+        runner.fingerprint = (
+            f"label_propagation:v2:delta={delta}:split={split}:"
+            f"threshold={threshold}:alpha={alpha}:level={level}:mode={mode}"
+        )
     final = runner.run(init, step, max_iterations)
     return final.select(F.col("tag").alias("id"), "label")

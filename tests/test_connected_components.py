@@ -66,3 +66,31 @@ def test_cc_oracle_powerlaw(spark):
         for v in members:
             oracle[v] = m
     assert _cc(g, split=True, threshold=8) == oracle
+
+
+def test_cc_workset_shrinks(spark):
+    """Delta iteration: the active set (vertices re-scattering next
+    superstep) must shrink on a high-diameter graph — late supersteps move
+    o(|V|) labels, matching the reference's iterateDelta contract
+    (NodeSplittingConnectedComponents.java:55-83)."""
+    from gelly_partitioning_spark import from_pairs
+    from gelly_partitioning_spark.superstep import SuperstepRunner
+
+    # path graph 0-1-2-...-19: diameter 19, min-id propagation takes many
+    # supersteps and the frontier is 1-2 vertices near the end
+    path = from_pairs(spark, [(i, i + 1) for i in range(20)])
+    runner = SuperstepRunner(spark)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            path, split=False, max_iterations=40, runner=runner
+        ).collect()
+    }
+    assert set(got.values()) == {"0"}
+    assert runner.converged
+    changed = [m.changed for m in runner.metrics]
+    # first superstep touches many vertices, the tail touches almost none
+    assert changed[0] > 5
+    assert changed[-1] == 0
+    late = changed[-4:-1]
+    assert all(c <= 3 for c in late), changed
