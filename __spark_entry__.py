@@ -254,26 +254,14 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_token_jaccard(spark, sf_dir):
-    d = _documents(spark, sf_dir)
-    tok = d.select(
-        F.col("doc_id").alias("id"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
-        ).alias("tok"),
-    )
-    sizes = tok.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
-    inter = (
-        tok.select(F.col("id").alias("id_a"), "tok")
-        .join(tok.select(F.col("id").alias("id_b"), "tok"), "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("inter_cnt"))
-    )
-    return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
-        .filter(F.col("inter_cnt") * 4 >= (F.col("sa") + F.col("sb") - F.col("inter_cnt")) * 3)
-        .select("id_a", "id_b", "inter_cnt", (F.col("sa") + F.col("sb") - F.col("inter_cnt")).alias("union_cnt"))
+    # gated on the SCALE path: prefix-filtered candidate generation +
+    # exact verification (see token_jaccard_pairs docstring); the naive
+    # inverted-index SQL oracle is the semantic twin — results identical
+    return token_jaccard_pairs(
+        _documents(spark, sf_dir),
+        min_jaccard=0.75,
+        prefix_filter=True,
+        emit_counts=True,
     )
 
 

@@ -119,38 +119,105 @@ def token_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_jaccard: float = 0.5,
+    prefix_filter: bool = True,
+    emit_counts: bool = False,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) for doc pairs with token-set Jaccard ≥ cutoff.
+    """Doc pairs with token-set Jaccard ≥ cutoff — (id_a, id_b, jaccard),
+    or (id_a, id_b, inter_cnt, union_cnt) with ``emit_counts=True``
+    (bit-exact integers for cross-engine comparison).
 
-    Inverted-index join on distinct tokens; |A∩B| from the join counts,
-    |A∪B| = |A|+|B|−|A∩B|. Pure relational — same construction as the
-    graph Jaccard operator (library/Jaccard.java:142-150 arithmetic).
+    ``prefix_filter=True`` (default, the 100 TB path) generates candidate
+    pairs by joining only each document's *prefix tokens* — its rarest
+    (|A| − ⌈t·|A|⌉ + 1) tokens under a global (document-frequency, token)
+    order — then verifies candidates exactly against the full token sets.
+    Soundness is the classic prefix-filtering lemma (Bayardo et al.,
+    WWW'07 "Scaling Up All Pairs Similarity Search"; Xiao et al. PPJoin):
+    if |A∩B| ≥ α then the (|A|−α+1)- and (|B|−α+1)-prefixes share a
+    token, and J ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, ⌈t·|B|⌉. The candidate threshold
+    is relaxed by 1e-6 so the rounded-jaccard output filter can never
+    admit a pair the prefix join missed. A stopword with document
+    frequency D sits at the *end* of the global order and enters almost
+    no prefixes — the naive inverted-index self-join would emit D²/2
+    pairs through it (the round-1 scale-killer); the prefix join is
+    bounded by the rare-token index instead.
+
+    ``prefix_filter=False`` is the naive inverted-index join (the oracle
+    twin; same |A∩B| / |A∪B| arithmetic as library/Jaccard.java:142-150).
     """
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
     )
     sizes = tok.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
-    inter = (
-        tok.select(F.col("id").alias("id_a"), "tok")
-        .join(tok.select(F.col("id").alias("id_b"), "tok"), "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
-        .select(
+
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        t_gen = max(min_jaccard - 1e-6, 0.0)  # relaxed for the rounded filter
+        dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
+        ranked = (
+            tok.join(dfreq, "tok")
+            .withColumn(
+                "pos",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.col("dfreq"), F.col("tok"))
+                ),
+            )
+            .join(sizes, "id")
+        )
+        pref = ranked.filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(t_gen) * F.col("sz")) + F.lit(1)
+        ).select("id", "tok")
+        cand = (
+            pref.select(F.col("id").alias("id_a"), "tok")
+            .join(pref.select(F.col("id").alias("id_b"), "tok"), "tok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        toksets = tok.groupBy("id").agg(F.sort_array(F.collect_list("tok")).alias("ts"))
+        inter = (
+            cand.join(
+                toksets.select(F.col("id").alias("id_a"), F.col("ts").alias("ta")), "id_a"
+            )
+            .join(toksets.select(F.col("id").alias("id_b"), F.col("ts").alias("tb")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("ta", "tb")).cast("long").alias("inter"),
+            )
+            .filter(F.col("inter") > 0)
+        )
+    else:
+        inter = (
+            tok.select(F.col("id").alias("id_a"), "tok")
+            .join(tok.select(F.col("id").alias("id_b"), "tok"), "tok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("inter"))
+        )
+
+    joined = inter.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a"
+    ).join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+    union_cnt = (F.col("sa") + F.col("sb") - F.col("inter")).cast("long")
+    if emit_counts:
+        # integer-exact threshold: inter ≥ t·union with t exactly
+        # representable (e.g. 0.75) matches inter*4 ≥ union*3
+        return joined.filter(
+            F.col("inter").cast("double") >= F.lit(min_jaccard) * union_cnt.cast("double")
+        ).select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            F.col("inter").alias("inter_cnt"),
+            union_cnt.alias("union_cnt"),
         )
-        .filter(F.col("jaccard") >= min_jaccard)
-    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("inter") / union_cnt.cast("double"), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -195,3 +195,54 @@ def test_multimodal_decode_stub_raises(tiny_docs):
     media = attach_media(tiny_docs.limit(1))
     with pytest.raises(NotImplementedError):
         extract_features(media, fake=False)
+
+
+def test_token_jaccard_prefix_equals_naive_stopword_corpus(spark):
+    """Exactness of prefix filtering on a stopword-heavy corpus, and the
+    scale bound: the ubiquitous token must enter (almost) no prefixes, so
+    candidate pairs ≪ the naive join's D²/2 through the hot token."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from gelly_partitioning_spark.functions.dedup import tokens as _  # noqa: F401
+
+    # 40 docs, every one contains 'the' (DF=40); near-dup clusters 0-3
+    rows = []
+    for i in range(40):
+        cluster = i % 10
+        extra = "zz" if i < 10 else f"u{i}"
+        rows.append((i, f"the alpha{cluster} beta{cluster} gamma{cluster} {extra}"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    naive = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in token_jaccard_pairs(docs, min_jaccard=0.5, prefix_filter=False).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in token_jaccard_pairs(docs, min_jaccard=0.5, prefix_filter=True).collect()
+    }
+    assert fast == naive and len(naive) > 0
+
+    # bound: prefix index must not contain the hot token for most docs —
+    # all docs have 5 tokens, prefix len = 5 - ceil(0.5*5) + 1 = 3, and
+    # 'the' (DF=40) sorts last in every doc, so it's in no prefix
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))).alias("tok"),
+    )
+    from pyspark.sql import Window
+
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
+    ranked = (
+        tok.join(dfreq, "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("id").orderBy("dfreq", "tok")),
+        )
+        .join(sizes, "id")
+    )
+    t = 0.5 - 1e-6
+    pref = ranked.filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+    hot_in_prefix = pref.filter(F.col("tok") == "the").count()
+    assert hot_in_prefix == 0
