@@ -196,22 +196,18 @@ def _q_triangle(spark, sf_dir):
 
 
 def _q_jaccard(spark, sf_dir):
-    # integer numerator/denominator — exact across engines; same
-    # construction as gelly_partitioning_spark.algorithms.jaccard but
-    # emitting (common_cnt, union_cnt) instead of the double ratio
-    from gelly_partitioning_spark.graph import canonical_edges, degrees, undirected
+    # integer numerator/denominator — exact across engines; common
+    # neighbors via the degree-oriented triangle enumeration (bounded by
+    # degeneracy², not hub² — see algorithms/jaccard.py); the oracle keeps
+    # the naive wedge self-join as the semantic twin
+    from gelly_partitioning_spark.algorithms.jaccard import edge_common_neighbors
+    from gelly_partitioning_spark.graph import canonical_edges, degrees
 
     edges = cooc_edges(spark, sf_dir)
     canon = canonical_edges(edges).withColumn("w", F.lit(1.0))
-    und = undirected(canon)
     deg = degrees(canon)
-    n1 = und.select(F.col("dst").alias("wid"), F.col("src").alias("a"))
-    n2 = und.select(F.col("dst").alias("wid"), F.col("src").alias("b"))
-    common = (
-        n1.join(n2, "wid")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .agg(F.count("*").cast("long").alias("common_cnt"))
+    common = edge_common_neighbors(canon.select("src", "dst")).withColumnRenamed(
+        "common", "common_cnt"
     )
     return (
         canon.select("src", "dst")

@@ -9,19 +9,54 @@ intersection arithmetically from set sizes (library/Jaccard.java:142-150:
 |∩| = |A| + |B| − |A∪B|). Relational re-expression (no sets materialized —
 the hub's neighbor set never lives in one task):
 
-  common(a,b) = #wedges a−w−b  (self-join of undirected edges on w)
+  common(a,b) = #common neighbors of edge (a,b) = #triangles through (a,b)
   J(a,b)      = common / (deg(a) + deg(b) − common)
 
 restricted to actual edges (a,b); edges with no common neighbor get 0.0 via
-left join + coalesce. Per-vertex map flavor: ``jaccard_vertex`` collects the
-per-edge rows into a map (reference JACCARD_VERTICES golden).
+left join + coalesce.
+
+Because J is only needed for pairs that ARE edges, the wedge count per
+pair equals the triangle count through that edge — so common() is
+computed with the same degree-oriented enumeration as triangle_count
+(each triangle found ONCE at its lowest-(degree,id) vertex, wedge
+fan-out bounded by degeneracy², not hub²), then each triangle is
+credited to its 3 edges. The naive undirected wedge self-join generates
+deg(w)² rows through every hub w — the round-1 scale gap this replaces.
+Per-vertex map flavor: ``jaccard_vertex`` collects the per-edge rows
+into a map (reference JACCARD_VERTICES golden).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..graph import canonical_edges, degrees, normalize_edges, undirected
+from ..graph import canonical_edges, degrees, normalize_edges
+from .triangle_count import oriented_edges
+
+
+def edge_common_neighbors(canon: DataFrame) -> DataFrame:
+    """(src, dst, common) — common-neighbor count per id-canonical edge,
+    via degree-oriented triangle enumeration (triangle_count.py).
+
+    Each triangle (v, b, c) found once (v = lowest-(degree,id) corner,
+    b < c by id) contributes one common neighbor to each of its 3 edges.
+    """
+    o = oriented_edges(canon).localCheckpoint(eager=True)
+    w = (
+        o.alias("x")
+        .join(o.alias("y"), F.col("x.lo") == F.col("y.lo"))
+        .filter(F.col("x.hi") < F.col("y.hi"))
+        .select(F.col("x.lo").alias("v"), F.col("x.hi").alias("b"), F.col("y.hi").alias("c"))
+    )
+    tri = w.join(
+        canon.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
+    )
+    per_edge = (
+        tri.select(F.col("b").alias("src"), F.col("c").alias("dst"))
+        .unionAll(tri.select(F.least("v", "b").alias("src"), F.greatest("v", "b").alias("dst")))
+        .unionAll(tri.select(F.least("v", "c").alias("src"), F.greatest("v", "c").alias("dst")))
+    )
+    return per_edge.groupBy("src", "dst").agg(F.count("*").cast("long").alias("common"))
 
 
 def jaccard(edges: DataFrame) -> DataFrame:
@@ -30,21 +65,8 @@ def jaccard(edges: DataFrame) -> DataFrame:
     canon = (
         canonical_edges(edges).withColumn("w", F.lit(1.0)).localCheckpoint(eager=True)
     )
-    und = undirected(canon)
     deg = degrees(canon)
-
-    # wedges through w: (a, b) neighbor-of-common-w pairs, canonical a<b.
-    # At scale the hub's wedge fan-out is the inherent cost of exact
-    # pairwise Jaccard (deg(w)^2 pairs through w) — the groupBy below is
-    # sum-reducible so partial aggregation keeps the reduce side bounded.
-    n1 = und.select(F.col("dst").alias("wid"), F.col("src").alias("a"))
-    n2 = und.select(F.col("dst").alias("wid"), F.col("src").alias("b"))
-    common = (
-        n1.join(n2, "wid")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .agg(F.count("*").cast("long").alias("common"))
-    )
+    common = edge_common_neighbors(canon.select("src", "dst"))
 
     j = (
         canon.join(common, ["src", "dst"], "left")

@@ -69,3 +69,21 @@ def test_corpus_extraction_prunes_content_after_sha(spark):
     for seg in exchange:
         assert "content#" not in seg.splitlines()[0]
     assert e.columns == ["src", "dst", "w", "n_rows"]
+
+
+def test_jaccard_wedges_are_degree_oriented(spark, jaccard_graph):
+    """The common-neighbor count must enumerate wedges from the oriented
+    (lo→hi by degree) adjacency — bounded by degeneracy², never hub² —
+    i.e. the plan self-joins the oriented edge set on `lo`, not the raw
+    undirected set on a neighbor column."""
+    from gelly_partitioning_spark.algorithms.jaccard import (
+        edge_common_neighbors,
+    )
+    from gelly_partitioning_spark.graph import canonical_edges
+
+    canon = canonical_edges(jaccard_graph).select("src", "dst")
+    p = plan_of(edge_common_neighbors(canon))
+    # the oriented self-join key is the `lo` endpoint
+    assert "lo#" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
