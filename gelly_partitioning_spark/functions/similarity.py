@@ -53,20 +53,23 @@ def cosine_topk(
     id_col: str = "vec_id",
     k: int = 5,
     implementation: str = "sql",
+    shard_bytes: int = 64 << 20,
 ) -> DataFrame:
     """(id, neighbor, cos, rk) — exact top-k cosine neighbors per vector.
 
     implementation='sql'   — pure Column-expression dot products: bitwise
         deterministic fold order, used by the DuckDB-oracle query.
     implementation='numpy' — Arrow-batched ``mapInPandas``: the reference
-        matrix is broadcast once and each batch does one BLAS matmul +
-        argpartition. ~10-100x faster; float64 accumulation order differs
-        from the SQL fold only in the last ulp. This is the scale path for
-        a broadcastable reference set (beyond that, use ``ann_lsh_topk``
-        or shard the reference matrix and merge per-shard top-k).
+        matrix is broadcast in SHARDS (each within ``shard_bytes``) and
+        each batch does one BLAS matmul + argpartition per shard; the
+        per-shard top-k partials are merged with one window. ~10-100x
+        faster than the SQL fold; float64 accumulation order differs from
+        it only in the last ulp. Driver peak memory = one shard, never
+        the full matrix (beyond what sharding makes sensible, use
+        ``ann_lsh_topk``).
     """
     if implementation == "numpy":
-        return _cosine_topk_numpy(df, vec_col, id_col, k)
+        return _cosine_topk_numpy(df, vec_col, id_col, k, shard_bytes=shard_bytes)
     u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
     a = u.select(F.col("id").alias("id_a"), F.col("_unit").alias("va"))
     b = u.select(F.col("id").alias("id_b"), F.col("_unit").alias("vb"))
@@ -83,50 +86,92 @@ def cosine_topk(
     )
 
 
-def _cosine_topk_numpy(df: DataFrame, vec_col: str, id_col: str, k: int) -> DataFrame:
-    """Broadcast-matrix top-k: one matmul per Arrow batch."""
+def _cosine_topk_numpy(
+    df: DataFrame, vec_col: str, id_col: str, k: int, shard_bytes: int = 64 << 20
+) -> DataFrame:
+    """Sharded broadcast-matrix top-k: per-shard matmul partials, merged.
+
+    The reference matrix never lives on the driver whole: it is hashed
+    into ceil(total_bytes / shard_bytes) shards, each collected +
+    broadcast + scored in its own pass (one BLAS matmul per Arrow batch
+    per shard, keeping the per-query top-k), then the per-shard partials
+    are merged with a single window rank. Driver peak = one shard;
+    executor peak = one shard broadcast at a time (unpersisted after its
+    partial materializes). Total FLOPs equal the unsharded matmul.
+    """
+    import math
+
     import numpy as np
 
     spark = df.sparkSession
-    ref = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
-    ids = np.array([r["id"] for r in ref])
-    M = np.array([r["v"] for r in ref], dtype=np.float64)
-    norms = np.linalg.norm(M, axis=1)
-    norms[norms == 0] = 1.0
-    M /= norms[:, None]
-    bc = spark.sparkContext.broadcast((ids, M))
-
-    def batches(it):
-        import pandas as pd
-
-        ids_b, M_b = bc.value
-        pos = {v: i for i, v in enumerate(ids_b)}
-        for pdf in it:
-            Q = np.array(list(pdf["v"]), dtype=np.float64)
-            qn = np.linalg.norm(Q, axis=1)
-            qn[qn == 0] = 1.0
-            Q /= qn[:, None]
-            S = Q @ M_b.T  # (batch, n_ref)
-            out_id, out_nb, out_cos, out_rk = [], [], [], []
-            for row_i, qid in enumerate(pdf["id"]):
-                s = S[row_i].copy()
-                if qid in pos:
-                    s[pos[qid]] = -np.inf  # exclude self
-                take = min(k, len(s) - 1)
-                idx = np.argpartition(-s, take - 1)[:take]
-                # order by (-cos, neighbor id) to match the SQL flavor
-                order = sorted(idx, key=lambda j: (-s[j], ids_b[j]))
-                for rk, j in enumerate(order, start=1):
-                    out_id.append(qid)
-                    out_nb.append(ids_b[j])
-                    out_cos.append(round(float(s[j]), 6))
-                    out_rk.append(rk)
-            yield pd.DataFrame(
-                {"id": out_id, "neighbor": out_nb, "cos": out_cos, "rk": out_rk}
-            )
-
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return src.mapInPandas(batches, "id long, neighbor long, cos double, rk int")
+    first = src.select(F.size("v").alias("d")).first()
+    if first is None:
+        return spark.createDataFrame([], "id long, neighbor long, cos double, rk int")
+    dim = first["d"]
+    n = src.count()
+    n_shards = max(1, math.ceil(n * dim * 8 / shard_bytes))
+
+    partials = []
+    for s_idx in range(n_shards):
+        shard_df = src.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)) == s_idx)
+        ref = shard_df.collect()  # ≤ shard_bytes on the driver, by construction
+        if not ref:
+            continue
+        ids = np.array([r["id"] for r in ref])
+        M = np.array([r["v"] for r in ref], dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        M /= norms[:, None]
+        bc = spark.sparkContext.broadcast((ids, M))
+
+        def batches(it, _bc=bc):
+            import pandas as pd
+
+            ids_b, M_b = _bc.value
+            pos = {v: i for i, v in enumerate(ids_b)}
+            for pdf in it:
+                Q = np.array(list(pdf["v"]), dtype=np.float64)
+                qn = np.linalg.norm(Q, axis=1)
+                qn[qn == 0] = 1.0
+                Q /= qn[:, None]
+                S = Q @ M_b.T  # (batch, shard_size)
+                out_id, out_nb, out_cos = [], [], []
+                for row_i, qid in enumerate(pdf["id"]):
+                    s = S[row_i].copy()
+                    valid = len(s)
+                    if qid in pos:
+                        s[pos[qid]] = -np.inf  # exclude self
+                        valid -= 1
+                    take = min(k, valid)
+                    if take <= 0:
+                        continue
+                    idx = np.argpartition(-s, take - 1)[:take]
+                    # order by (-cos, neighbor id) to match the SQL flavor
+                    order = sorted(idx, key=lambda j: (-s[j], ids_b[j]))
+                    for j in order:
+                        out_id.append(qid)
+                        out_nb.append(ids_b[j])
+                        out_cos.append(round(float(s[j]), 6))
+                yield pd.DataFrame({"id": out_id, "neighbor": out_nb, "cos": out_cos})
+
+        part = src.mapInPandas(batches, "id long, neighbor long, cos double")
+        if n_shards > 1:
+            # materialize so the shard broadcast can be released before the
+            # next shard is collected
+            part = part.localCheckpoint(eager=True)
+            bc.unpersist()
+        partials.append(part)
+
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionAll(p)
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", "neighbor", "cos", "rk")
+    )
 
 
 def _hyperplane_sign(unit_col, plane: int, dim: int):

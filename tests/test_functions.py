@@ -246,3 +246,20 @@ def test_token_jaccard_prefix_equals_naive_stopword_corpus(spark):
     pref = ranked.filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
     hot_in_prefix = pref.filter(F.col("tok") == "the").count()
     assert hot_in_prefix == 0
+
+
+def test_cosine_topk_numpy_sharded_matches_sql(embeddings):
+    """Force multiple reference shards (tiny shard budget) — the sharded
+    merge must reproduce the single-pass / SQL flavor exactly."""
+    sub = embeddings.limit(50)
+    sql_t = {
+        (r["id"], r["rk"]): r["neighbor"]
+        for r in cosine_topk(sub, k=3, implementation="sql").collect()
+    }
+    sharded = {
+        (r["id"], r["rk"]): r["neighbor"]
+        for r in cosine_topk(
+            sub, k=3, implementation="numpy", shard_bytes=4096
+        ).collect()
+    }
+    assert sharded == sql_t
