@@ -52,7 +52,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     split: bool = True,
-    threshold: int = 2,
+    threshold: int | None = 2,
     alpha: int = 2,
     level: int = 4,
     mode: str = "flat",

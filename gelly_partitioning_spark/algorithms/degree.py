@@ -20,7 +20,7 @@ from ..splitting import merge_by_tag, split_graph
 def degree_count(
     edges: DataFrame,
     split: bool = True,
-    threshold: int = 2,
+    threshold: int | None = 2,
     alpha: int = 2,
     level: int = 4,
     mode: str = "flat",

@@ -41,7 +41,7 @@ def label_propagation(
     delta: float = 0.5,
     max_iterations: int = 30,
     split: bool = True,
-    threshold: int = 6,
+    threshold: int | None = 6,
     alpha: int = 2,
     level: int = 4,
     mode: str = "flat",

@@ -31,7 +31,7 @@ from ..splitting import split_graph
 def neighbor_sets(
     edges: DataFrame,
     split: bool = True,
-    threshold: int = 1000,
+    threshold: int | None = 1000,
     alpha: int = 2,
     level: int = 8,
 ) -> DataFrame:
@@ -61,7 +61,7 @@ def aggregate_neighborhoods(
     schema: str,
     merge: Callable | None = None,
     split: bool = True,
-    threshold: int = 1000,
+    threshold: int | None = 1000,
     alpha: int = 2,
     level: int = 8,
 ) -> DataFrame:

@@ -48,7 +48,7 @@ def pagerank(
     max_iterations: int = 100,
     fixed_iterations: int | None = None,
     split: bool = True,
-    threshold: int = 2,
+    threshold: int | None = 2,
     alpha: int = 2,
     level: int = 4,
     mode: str = "flat",

@@ -44,8 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="output path")
     p.add_argument("--format", default="parquet", choices=["parquet", "csv"])
     p.add_argument("--max-iterations", type=int, default=100)
-    p.add_argument("--threshold", type=int, default=1000,
-                   help="skew threshold xMin (degree above which a vertex splits)")
+    p.add_argument("--threshold", type=int, default=None,
+                   help="skew threshold xMin (degree above which a vertex splits); "
+                        "omit to derive ceil(avg degree) from the data "
+                        "(reference AlphaNodeSplitting.java:82-102)")
     p.add_argument("--alpha", type=int, default=2)
     p.add_argument("--level", type=int, default=8)
     p.add_argument("--no-split", action="store_true")
@@ -103,7 +105,10 @@ def main(argv=None) -> int:
             alpha=args.alpha, level=args.level,
         )
     elif algo == "skew_census":
-        out = algorithms.skew_census(edges, threshold=args.threshold)
+        out = algorithms.skew_census(
+            edges,
+            threshold=args.threshold if args.threshold is not None else 1000,
+        )
     else:  # pragma: no cover
         raise SystemExit(f"unknown algorithm {algo}")
 

@@ -91,7 +91,7 @@ def _route(edge_col: str, neighbor_tag_col: str, n_splits_col: str, seed: int):
 
 def split_graph(
     edges: DataFrame,
-    threshold: int = DEFAULT_THRESHOLD,
+    threshold: int | None = DEFAULT_THRESHOLD,
     alpha: int = DEFAULT_ALPHA,
     level: int = DEFAULT_LEVEL,
     mode: str = "flat",
@@ -101,6 +101,12 @@ def split_graph(
 
     Returns undirected-expanded routing edges whose skewed endpoints are
     rewritten to sub-vertex ids, plus the (id, tag) sub-vertex table.
+
+    ``threshold=None`` derives xMin from the data: ceil(average degree),
+    floored at 2 — the reference's data-driven intent
+    (AlphaNodeSplitting.java:82-102 computes the mean degree as xMin; the
+    power-law fit at SortDegreeNodeSplitting.java:55-58 is stubbed there
+    too). One tiny extra agg job on the degree table, auto mode only.
     """
     # One shared, lazily-materialized undirected set: the degree pass and
     # the rewrite pass would otherwise each re-run the upstream scan +
@@ -110,6 +116,9 @@ def split_graph(
         degree_df = und.groupBy(F.col("src").alias("id")).agg(
             F.count("*").cast("long").alias("degree")
         )
+    if threshold is None:
+        row = degree_df.agg(F.ceil(F.avg("degree")).alias("t")).first()
+        threshold = max(int(row["t"]) if row["t"] is not None else 2, 2)
     if mode == "flat":
         e = _split_flat(und, degree_df, threshold, alpha, level)
     elif mode == "tree":
@@ -135,6 +144,24 @@ def _split_flat(und: DataFrame, degree_df: DataFrame, threshold: int, alpha: int
             F.greatest(F.lit(1).cast("long"), F.ceil(F.col("degree") / F.lit(threshold))),
         ).alias("n_splits"),
     ).filter(F.col("n_splits") > 1)
+    # Guard: an input id that already contains the sub-vertex separator
+    # would make generated sub-vertex ids ambiguous (and unsplit() would
+    # truncate it). Checked only on the tiny skewed set when the fanout
+    # table materializes for broadcast — non-split ids never acquire a
+    # suffix, and all tag-based code paths ignore the id string entirely.
+    fanout = fanout.select(
+        F.when(
+            ~F.col("id").contains(SEP), F.col("id")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"vertex id contains reserved separator {SEP!r}: "),
+                    F.col("id"),
+                )
+            )
+        ).alias("id"),
+        "n_splits",
+    )
     # The skewed set is tiny (power-law tail above threshold) — broadcast
     # both attachment joins so the full edge set is never shuffled here.
     e = (
