@@ -55,3 +55,34 @@ def test_degree_count_split_matches_golden_tree(hub_graph):
 def test_degree_count_plain_matches_golden(hub_graph):
     got = {r["id"]: r["degree"] for r in degree_count(hub_graph, split=False).collect()}
     assert got == HUB_DEGREES
+
+
+def test_auto_threshold_from_avg_degree(hub_graph):
+    """threshold=None derives xMin = ceil(avg degree) (reference
+    AlphaNodeSplitting.java:82-102) — the degree-18 hub must still split,
+    and degree_count must stay golden (split never changes answers)."""
+    sg = split_graph(hub_graph, threshold=None, alpha=2, level=4)
+    # avg undirected degree = 44/21 ≈ 2.1 → xMin 3; hub (18) splits
+    assert sg.threshold >= 2
+    subs5 = [r["id"] for r in sg.vertices.filter(F.col("tag") == "5").collect()]
+    assert len(subs5) > 1
+    got = {
+        r["id"]: r["degree"]
+        for r in degree_count(hub_graph, split=True, threshold=None).collect()
+    }
+    assert got == HUB_DEGREES
+
+
+def test_split_rejects_id_with_separator(spark):
+    """A to-be-split vertex id containing the reserved separator must be
+    rejected (its sub-vertex ids would be ambiguous and unsplit() would
+    truncate it)."""
+    import pytest
+    from gelly_partitioning_spark import from_pairs
+
+    bad = from_pairs(
+        spark, [("x" + SEP + "0", str(i)) for i in range(6)] + [("a", "b")]
+    )
+    sg = split_graph(bad, threshold=2, alpha=2, level=4)
+    with pytest.raises(Exception, match="reserved separator"):
+        sg.edges.count()
