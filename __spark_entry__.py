@@ -159,9 +159,24 @@ LP_EDGES_SQL = (
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: split-path PageRank over the skewed part–supplier graph."""
+    """Flagship: split-path PageRank over the skewed part–supplier graph.
+
+    Set ``SPARK_GRAFT_CHECKPOINT_DIR`` to make the run resumable: every 5
+    supersteps the state snapshots to parquet with a fingerprinted
+    manifest, and a re-invocation with the same dir resumes mid-iteration
+    (the north rule's resumability clause, driver-observable — kill this
+    process after a snapshot and call entry() again to continue).
+    """
+    import os
+
+    from gelly_partitioning_spark.superstep import SuperstepRunner
+
     edges = ps_edges(spark, "/root/testdata/sf0.001")
-    pr = pagerank(edges, tol=1e-6, max_iterations=60, split=True, threshold=64)
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    runner = SuperstepRunner(spark, checkpoint_dir=ckpt) if ckpt else None
+    pr = pagerank(
+        edges, tol=1e-6, max_iterations=60, split=True, threshold=64, runner=runner
+    )
     return pr.select("id", _dec6(F.col("rank")).alias("rank"))
 
 

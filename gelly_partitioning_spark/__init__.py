@@ -19,6 +19,7 @@ from .graph import (
     degrees,
     from_pairs,
     normalize_edges,
+    triplets,
     undirected,
     vertices,
 )

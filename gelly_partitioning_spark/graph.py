@@ -103,3 +103,24 @@ def from_pairs(spark, pairs, weights=None) -> DataFrame:
             w = 1.0 if weights is None else float(weights[i])
             rows.append((str(p[0]), str(p[1]), w))
     return spark.createDataFrame(rows, "src string, dst string, w double")
+
+
+def triplets(edges: DataFrame, vertex_values: DataFrame, id_col: str = "id") -> DataFrame:
+    """Edge ⋈ src-vertex value ⋈ dst-vertex value (util/DummyGraph.java:471-490).
+
+    ``vertex_values`` is (id, <value cols…>); every value column comes back
+    twice, prefixed ``src_`` / ``dst_``. Two shuffle joins on uniform keys —
+    on a split graph, join against the sub-vertex table instead so the hub
+    key never concentrates (the iterative algorithms inline exactly that).
+    """
+    vals = [c for c in vertex_values.columns if c != id_col]
+    sv = vertex_values.select(
+        F.col(id_col).alias("src"), *[F.col(c).alias(f"src_{c}") for c in vals]
+    )
+    dv = vertex_values.select(
+        F.col(id_col).alias("dst"), *[F.col(c).alias(f"dst_{c}") for c in vals]
+    )
+    return edges.join(sv, "src").join(dv, "dst").select(
+        "src", "dst", *(["w"] if "w" in edges.columns else []),
+        *[f"src_{c}" for c in vals], *[f"dst_{c}" for c in vals],
+    )
