@@ -69,18 +69,24 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # -- PageRank to 1e-6 convergence: the north-rule metric ---------------
-    runner = SuperstepRunner(spark)
-    t0 = time.time()
-    pr = pagerank(
-        edges, tol=1e-6, max_iterations=100, split=True, threshold=256,
-        alpha=2, level=6, runner=runner,
-    )
-    pr_rows = pr.count()
-    pr_sec = time.time() - t0
+    # best-of-2 like every other query (single runs swing 2-3x under the
+    # sandbox's bursty external load); the headline is the engine's cost
+    best = None
+    for _ in range(2):
+        runner = SuperstepRunner(spark)
+        t0 = time.time()
+        pr = pagerank(
+            edges, tol=1e-6, max_iterations=100, split=True, threshold=256,
+            alpha=2, level=6, runner=runner,
+        )
+        pr_rows = pr.count()
+        pr_sec = time.time() - t0
+        if best is None or pr_sec < best[0]:
+            best = (pr_sec, len(runner.metrics), runner.converged, pr_rows)
+    pr_sec, iters, conv, pr_rows = best
     timings["pagerank_1e6"] = round(pr_sec, 3)
-    iters = len(runner.metrics)
     detail["pagerank_iterations"] = iters
-    detail["pagerank_converged"] = runner.converged
+    detail["pagerank_converged"] = conv
     detail["pagerank_vertices"] = pr_rows
     detail["pagerank_iters_per_min"] = round(iters / (pr_sec / 60.0), 2)
 
