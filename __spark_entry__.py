@@ -333,6 +333,25 @@ def _q_ann_lsh(spark, sf_dir):
     return t.select("id", "neighbor", _dec6(F.col("cos")).alias("cos"), "rk")
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    from gelly_partitioning_spark.functions import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _documents(spark, sf_dir),
+        n=3,
+        min_jaccard=0.5,
+        prefix_filter=True,
+        emit_counts=True,
+    )
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from gelly_partitioning_spark.functions import embedding_near_duplicates
+
+    e = embedding_near_duplicates(_embeddings(spark, sf_dir), min_cos=0.4)
+    return e.select("id_a", "id_b", _dec6(F.col("cos")).alias("cos"))
+
+
 def _q_sessionize(spark, sf_dir):
     from gelly_partitioning_spark.streaming import sessionize
 
@@ -362,6 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_detection": _q_community,
         "simhash": _q_simhash,
         "vertex_neighborhoods": _q_neighborhoods,
+        "ngram_jaccard_near_dup": _q_ngram_jaccard,
+        "embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -624,6 +645,23 @@ def oracle_sql() -> dict[str, str]:
         "ranked AS (SELECT id_a, id_b, cos, ROW_NUMBER() OVER "
         "(PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rk FROM pairs) "
         "SELECT id_a AS id, id_b AS neighbor, cos, rk FROM ranked WHERE rk <= 3"
+    )
+    sql["ngram_jaccard_near_dup"] = (
+        f"WITH sh AS (SELECT doc_id AS id, unnest({shingle}) AS tok FROM documents), "
+        "sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id), "
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter_cnt FROM sh a "
+        "JOIN sh b ON a.tok = b.tok AND a.id < b.id GROUP BY a.id, b.id) "
+        "SELECT id_a, id_b, inter_cnt, sa.sz + sb.sz - inter_cnt AS union_cnt "
+        "FROM inter JOIN sizes sa ON inter.id_a = sa.id JOIN sizes sb ON inter.id_b = sb.id "
+        "WHERE CAST(inter_cnt AS DOUBLE) >= "
+        "0.5 * CAST(sa.sz + sb.sz - inter_cnt AS DOUBLE)"
+    )
+    sql["embedding_near_dup"] = (
+        f"WITH u AS ({_unit_sql}), "
+        "pairs AS (SELECT a.id AS id_a, b.id AS id_b, "
+        "CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) "
+        "AS DECIMAL(18,6)) AS DOUBLE) AS cos FROM u a JOIN u b ON a.id < b.id) "
+        "SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4"
     )
     sql["sessionize"] = (
         "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL THEN 1 "

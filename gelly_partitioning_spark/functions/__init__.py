@@ -2,6 +2,7 @@ from .dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
     minhash_signatures,
+    ngram_jaccard_pairs,
     simhash,
     token_jaccard_pairs,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "exact_duplicates",
     "minhash_lsh_candidates",
     "minhash_signatures",
+    "ngram_jaccard_pairs",
     "simhash",
     "token_jaccard_pairs",
     "attach_media",

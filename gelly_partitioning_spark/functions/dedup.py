@@ -148,6 +148,33 @@ def token_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
     )
+    return _jaccard_pairs(tok, min_jaccard, prefix_filter, emit_counts)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    prefix_filter: bool = True,
+    emit_counts: bool = False,
+) -> DataFrame:
+    """Word n-gram (shingle) Jaccard near-dup — same machinery as
+    ``token_jaccard_pairs`` over the distinct shingle set (the set MinHash
+    approximates; this is its exact counterpart). Shingles are rarer than
+    tokens, so the prefix filter is even more selective here."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("tok"),
+    )
+    return _jaccard_pairs(sh, min_jaccard, prefix_filter, emit_counts)
+
+
+def _jaccard_pairs(
+    tok: DataFrame, min_jaccard: float, prefix_filter: bool, emit_counts: bool
+) -> DataFrame:
+    """Shared core: (id, tok) exploded distinct elements → qualifying pairs."""
     sizes = tok.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
 
     if prefix_filter:

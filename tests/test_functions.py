@@ -263,3 +263,22 @@ def test_cosine_topk_numpy_sharded_matches_sql(embeddings):
         ).collect()
     }
     assert sharded == sql_t
+
+
+def test_ngram_jaccard_prefix_equals_naive(tiny_docs):
+    from gelly_partitioning_spark.functions import ngram_jaccard_pairs
+
+    naive = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            tiny_docs, n=3, min_jaccard=0.3, prefix_filter=False
+        ).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            tiny_docs, n=3, min_jaccard=0.3, prefix_filter=True
+        ).collect()
+    }
+    assert fast == naive
+    assert (1, 2) in {(a, b) for a, b, _ in naive}  # exact dup pair qualifies

@@ -120,8 +120,11 @@ def main():
     for cores in (8, 32):
         out = subprocess.run(
             [sys.executable, __file__, "--level", str(cores), sf_dir, str(n_files)],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
         )
+        if out.returncode != 0:
+            sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-8000:] + "\n")
+            raise SystemExit(f"level {cores} failed rc={out.returncode}")
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cores] = json.loads(line)
         print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
