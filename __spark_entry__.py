@@ -283,6 +283,10 @@ def _q_minhash(spark, sf_dir):
 
 
 def _q_cosine_topk(spark, sf_dir):
+    # ORACLE TWIN, quadratic by declaration: the exact brute-force baseline
+    # that the scale path (ann_lsh_topk, gated right beside it) is measured
+    # against. Never benchmark or run this flavor at size — bench.py uses
+    # the sharded numpy flavor; 100 TB uses ann_lsh_topk.
     t = cosine_topk(_embeddings(spark, sf_dir), k=3)
     return t.select("id", "neighbor", _dec6(F.col("cos")).alias("cos"), "rk")
 
@@ -319,10 +323,14 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_neighborhoods(spark, sf_dir):
+    # as_string: the sorted neighbor set is emitted as a ','-joined scalar
+    # (plus its cardinality) — array cells are unhashable for the driver's
+    # pandas row canonicalizer; same collect_set split-merge underneath
     from gelly_partitioning_spark.algorithms import neighbor_sets
 
     return neighbor_sets(
-        ps_edges(spark, sf_dir), split=True, threshold=64, alpha=2, level=6
+        ps_edges(spark, sf_dir), split=True, threshold=64, alpha=2, level=6,
+        as_string=True,
     )
 
 
@@ -346,9 +354,15 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
+    # gated on the SCALE path: LSH-bucketed candidates → exact ≥ min_cos
+    # verify, never all-pairs (plan-asserted cartesian-free); the DuckDB
+    # oracle reproduces the md5 hyperplanes so both engines see the
+    # identical candidate set
     from gelly_partitioning_spark.functions import embedding_near_duplicates
 
-    e = embedding_near_duplicates(_embeddings(spark, sf_dir), min_cos=0.4)
+    e = embedding_near_duplicates(
+        _embeddings(spark, sf_dir), min_cos=0.4, method="lsh", n_planes=4, n_tables=8
+    )
     return e.select("id_a", "id_b", _dec6(F.col("cos")).alias("cos"))
 
 
@@ -422,7 +436,10 @@ def _community_sql(iterations: int = 5, delta: float = 0.5) -> str:
     (library/CommunityDetection.java:58-112): sum/max per (vertex, label),
     argmax with smallest-label tie-break, delta/i decay on label change,
     no-message keeps old state. Decay constants are Python-computed repr
-    literals so both engines parse the identical double."""
+    literals so both engines parse the identical double. The argmax ranks
+    on the dec6-rounded sum (both engines): float64 partial-agg order is
+    nondeterministic, and a raw-double argmax could flip discrete labels
+    on near-tied sums."""
     parts = [
         f"WITH le AS ({LP_EDGES_SQL})",
         "und AS (SELECT src, dst FROM le UNION ALL SELECT dst AS src, src AS dst FROM le)",
@@ -441,7 +458,9 @@ def _community_sql(iterations: int = 5, delta: float = 0.5) -> str:
         parts.append(
             f"b{k} AS (SELECT id, label AS new_label, max_s AS new_max FROM ("
             f"SELECT id, label, max_s, ROW_NUMBER() OVER (PARTITION BY id "
-            f"ORDER BY sum_s DESC, label ASC) AS rn FROM p{k}) t WHERE rn = 1)"
+            f"ORDER BY COALESCE(CAST(TRY_CAST(sum_s AS DECIMAL(38,6)) AS DOUBLE), sum_s) DESC, "
+            f"label ASC) AS rn "
+            f"FROM p{k}) t WHERE rn = 1)"
         )
         parts.append(
             f"s{k} AS (SELECT s.id, COALESCE(b.new_label, s.label) AS label, "
@@ -608,7 +627,8 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["vertex_neighborhoods"] = (
         f"WITH {_UND_SQL} "
-        "SELECT src AS id, list_sort(list(DISTINCT dst)) AS neighbors FROM und GROUP BY src"
+        "SELECT src AS id, array_to_string(list_sort(list(DISTINCT dst)), ',') AS neighbors, "
+        "COUNT(DISTINCT dst) AS n_neighbors FROM und GROUP BY src"
     )
     # ann_lsh_topk: md5-derived hyperplanes are exact dyadic rationals
     # (32-bit int / 2^32 − 1/2), so signs/buckets reproduce bit-for-bit
@@ -656,11 +676,18 @@ def oracle_sql() -> dict[str, str]:
         "WHERE CAST(inter_cnt AS DOUBLE) >= "
         "0.5 * CAST(sa.sz + sb.sz - inter_cnt AS DOUBLE)"
     )
+    # embedding_near_dup: same md5-hyperplane LSH buckets as ann_lsh_topk
+    # (identical candidate set in both engines), candidates verified
+    # exactly against the threshold — the scale path IS what's gated
     sql["embedding_near_dup"] = (
         f"WITH u AS ({_unit_sql}), "
-        "pairs AS (SELECT a.id AS id_a, b.id AS id_b, "
-        "CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) "
-        "AS DECIMAL(18,6)) AS DOUBLE) AS cos FROM u a JOIN u b ON a.id < b.id) "
+        f"bk AS (SELECT id, unnest([{buckets}]) AS bucket FROM u), "
+        "cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b FROM bk a "
+        "JOIN bk c ON a.bucket = c.bucket AND a.id < c.id), "
+        "pairs AS (SELECT cand.id_a, cand.id_b, "
+        "CAST(CAST(list_sum(list_transform(range(1, len(ua.v) + 1), i -> ua.v[i] * ub.v[i])) "
+        "AS DECIMAL(18,6)) AS DOUBLE) AS cos FROM cand "
+        "JOIN u ua ON cand.id_a = ua.id JOIN u ub ON cand.id_b = ub.id) "
         "SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4"
     )
     sql["sessionize"] = (

@@ -42,6 +42,7 @@ from ..superstep import (
     CHANGED,
     DEFAULT_BROADCAST_STATE_BUDGET,
     SuperstepRunner,
+    data_fingerprint,
     fits_broadcast_budget,
 )
 
@@ -130,9 +131,12 @@ def connected_components(
 
     runner = runner or SuperstepRunner(spark)
     if runner.fingerprint is None:
-        runner.fingerprint = (
+        fp = (
             f"connected_components:v2:split={split}:threshold={threshold}:"
             f"alpha={alpha}:level={level}:mode={mode}:numeric={numeric_ids}"
         )
+        if runner.checkpoint_dir:
+            fp += f":data[{data_fingerprint(e, *e.columns)}]"
+        runner.fingerprint = fp
     final = runner.run(init, step, max_iterations)
     return final.select(F.col("tag").alias("id"), F.col("component").cast("string"))

@@ -20,6 +20,26 @@ Split-merge: both combiners (sum per label, max per label) are associative,
 so the gather runs as groupBy(dst_tag, label) with map-side partials; the
 argmax is one more groupBy with a struct-max — no windows, no UDFs. The
 smallest-label tie-break rides in the struct as ``-label``.
+
+Workset / delta iteration (the reference's ``iterateDelta`` contract,
+example/NodeSplittingCommunityDetection.java:70-103): unlike monotone
+min-propagation, an *unchanged* sender still contributes to the receiver's
+argmax, so senders cannot simply drop out. The exact delta scheme instead
+recomputes only the vertices whose inputs could have changed:
+
+    frontier  = vertices whose (label, score) changed last superstep
+    affected  = frontier ∪ N(frontier)
+    gather    = ALL senders, but only along edges INTO affected vertices
+
+A vertex outside ``affected`` has byte-identical messages AND own-state
+versus the previous superstep, so recomputing it would reproduce its
+current value exactly (the frontier itself must stay in ``affected``: a
+vertex that just paid the delta/i label-change decay flips back to the
+undecayed max when its label is re-confirmed). Late supersteps on a
+converging graph gather O(|E(affected)|) messages instead of 2|E|; the
+full-scatter path is kept for early supersteps where the frontier is the
+whole graph (``workset_ratio`` picks the crossover from the runner's
+changed-count metric — no extra job).
 """
 
 from __future__ import annotations
@@ -32,8 +52,12 @@ from ..superstep import (
     CHANGED,
     DEFAULT_BROADCAST_STATE_BUDGET,
     SuperstepRunner,
+    data_fingerprint,
     fits_broadcast_budget,
 )
+
+
+ACTIVE = "_active"
 
 
 def label_propagation(
@@ -45,6 +69,8 @@ def label_propagation(
     alpha: int = 2,
     level: int = 4,
     mode: str = "flat",
+    workset: bool = True,
+    workset_ratio: float = 0.25,
     broadcast_threshold_vertices: int | None = None,
     broadcast_state_budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET,
     runner: SuperstepRunner | None = None,
@@ -63,11 +89,18 @@ def label_propagation(
     )
     sub = sg.vertices.localCheckpoint(eager=True)
 
-    label0 = F.coalesce(F.col("tag").cast("long"), F.xxhash64("tag"))
+    # try_cast: non-numeric ids fall back to a stable 64-bit hash (a plain
+    # cast throws under ANSI instead of returning NULL)
+    label0 = F.coalesce(F.expr("try_cast(tag as long)"), F.xxhash64("tag"))
     init = (
         sub.select("tag")
         .distinct()
-        .select("tag", label0.alias("label"), F.lit(1.0).alias("score"))
+        .select(
+            "tag",
+            label0.alias("label"),
+            F.lit(1.0).alias("score"),
+            F.lit(True).alias(ACTIVE),
+        )
         .localCheckpoint(eager=True)
     )
     n = init.count()
@@ -87,34 +120,94 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
 
-    def step(state: DataFrame, i: int):
+    # 2|E_sub| rows — drives the delta-path affected-set budget guard
+    e_rows = e.count() if workset else 0
+    avg_deg = max(1.0, e_rows / max(n, 1))
+
+    def _messages(state: DataFrame, frontier: DataFrame | None) -> DataFrame:
+        """(tag, label, ms) gather messages. ``frontier=None`` → full
+        scatter; else restricted to edges INTO affected = frontier ∪
+        N(frontier) — ALL senders to an affected vertex still scatter
+        (argmax needs the complete per-label sums), but edges into
+        untouched vertices are skipped map-side (broadcast semi-join on
+        dst_tag: the partition-stationary edge side never re-shuffles)."""
+        ee = e
         if use_broadcast:
-            msgs = e.join(
-                F.broadcast(state), e["src_tag"] == state["tag"]
+            if frontier is not None:
+                nbrs = e.join(
+                    F.broadcast(frontier), e["src_tag"] == frontier["tag"]
+                ).select(F.col("dst_tag").alias("tag"))
+                affected = frontier.union(nbrs).distinct()
+                ee = e.join(
+                    F.broadcast(affected), e["dst_tag"] == affected["tag"], "left_semi"
+                )
+            return ee.join(
+                F.broadcast(state), ee["src_tag"] == state["tag"]
             ).select(
                 F.col("dst_tag").alias("tag"),
                 "label",
                 (F.col("score") * F.col("w")).alias("ms"),
             )
-        else:
-            sub_state = sub.join(state.hint("shuffle_hash"), "tag").select(
-                F.col("id").alias("src"), "label", "score"
+        if frontier is not None:
+            f_subs = sub.join(frontier.hint("shuffle_hash"), "tag").select(
+                F.col("id").alias("src")
             )
-            msgs = e.join(sub_state.hint("shuffle_hash"), "src").select(
-                F.col("dst_tag").alias("tag"), "label", (F.col("score") * F.col("w")).alias("ms")
+            nbrs = e.join(f_subs.hint("shuffle_hash"), "src").select(
+                F.col("dst_tag").alias("tag")
             )
+            affected = frontier.union(nbrs).distinct()
+            ee = e.join(
+                F.broadcast(affected), e["dst_tag"] == affected["tag"], "left_semi"
+            )
+        sub_state = sub.join(state.hint("shuffle_hash"), "tag").select(
+            F.col("id").alias("src"), "label", "score"
+        )
+        return ee.join(sub_state.hint("shuffle_hash"), "src").select(
+            F.col("dst_tag").alias("tag"), "label", (F.col("score") * F.col("w")).alias("ms")
+        )
+
+    def step(state: DataFrame, i: int):
+        # crossover to the delta path once the frontier is small: the
+        # runner already counted last superstep's changed rows — reuse it
+        # (no extra job); the byte guard keeps the affected-set broadcast
+        # within budget (changed × avg_deg over-estimates |affected|)
+        last = runner.metrics[-1] if runner.metrics else None
+        use_delta = (
+            workset
+            and last is not None
+            and last.changed is not None
+            and 0 < last.changed <= workset_ratio * n
+            and last.changed * avg_deg * 64 <= broadcast_state_budget_bytes
+        )
+        frontier = state.filter(F.col(ACTIVE)).select("tag") if use_delta else None
+        msgs = _messages(state, frontier)
         per_label = msgs.groupBy("tag", "label").agg(
             F.sum("ms").alias("sum_s"), F.max("ms").alias("max_s")
         )
         # argmax(sum_s) with smallest-label tie-break; max_s rides along
-        # ((sum_s, -label) is unique per group so max_s never compares)
+        # ((sum_s, -label) is unique per group so max_s never compares).
+        # The comparison key is the dec6-rounded sum: float64 partial-agg
+        # order is nondeterministic across engines/runs, and a raw-double
+        # argmax would flip discrete labels on near-tied sums — rounding to
+        # 6 decimals (HALF_UP decimal cast, the engine-wide convention)
+        # makes the argmax order-robust; the DuckDB oracle ranks on the
+        # token-identical key. Scores compound multiplicatively with edge
+        # weights (new_score = max(score·w)), so sums can outgrow ANY
+        # decimal width — try_cast falls back to the raw double there
+        # (absolute 1e-6 rounding is meaningless above ~1e32 anyway), and
+        # TRY_CAST has the same NULL-on-overflow semantics in DuckDB.
+        sum_key = F.coalesce(
+            F.expr("try_cast(sum_s as decimal(38,6))").cast("double"),
+            F.col("sum_s"),
+        )
         best = per_label.groupBy("tag").agg(
-            F.max(F.struct(F.col("sum_s"), (-F.col("label")).alias("nl"), F.col("max_s"))).alias("b")
+            F.max(F.struct(sum_key.alias("sum_s"), (-F.col("label")).alias("nl"), F.col("max_s"))).alias("b")
         ).select(
             "tag",
             (-F.col("b.nl")).alias("new_label"),
             F.col("b.max_s").alias("new_max"),
         )
+        changed = (F.col("_lbl") != F.col("_old_lbl")) | (F.col("_scr") != F.col("_old_scr"))
         return (
             state.join(best.hint("shuffle_hash"), "tag", "left")
             .select(
@@ -131,15 +224,19 @@ def label_propagation(
                 "tag",
                 F.col("_lbl").alias("label"),
                 F.col("_scr").alias("score"),
-                ((F.col("_lbl") != F.col("_old_lbl")) | (F.col("_scr") != F.col("_old_scr"))).alias(CHANGED),
+                changed.alias(ACTIVE),  # next superstep's frontier
+                changed.alias(CHANGED),
             )
         )
 
     runner = runner or SuperstepRunner(spark)
     if runner.fingerprint is None:
-        runner.fingerprint = (
-            f"label_propagation:v2:delta={delta}:split={split}:"
+        fp = (
+            f"label_propagation:v3:delta={delta}:split={split}:"
             f"threshold={threshold}:alpha={alpha}:level={level}:mode={mode}"
         )
+        if runner.checkpoint_dir:
+            fp += f":data[{data_fingerprint(e, *e.columns)}]"
+        runner.fingerprint = fp
     final = runner.run(init, step, max_iterations)
     return final.select(F.col("tag").alias("id"), "label")

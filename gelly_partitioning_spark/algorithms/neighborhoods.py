@@ -34,24 +34,38 @@ def neighbor_sets(
     threshold: int | None = 1000,
     alpha: int = 2,
     level: int = 8,
+    as_string: bool = False,
 ) -> DataFrame:
     """(id, neighbors: array<string>) — sorted distinct neighbor ids.
 
     Split path: per-sub-vertex collect_set keeps every group ≤ ~threshold
     elements; the tag-level merge flattens ≤ alpha^level partial arrays.
+
+    ``as_string=True`` emits the scalar projection
+    (id, neighbors: string, n_neighbors: long) — the sorted set joined
+    with ',' plus its cardinality. Same set-union merge underneath; the
+    scalar shape is hashable by row-canonicalizing comparators (driver
+    gate), where an array cell is not.
     """
     edges = normalize_edges(edges)
     sg = split_graph(edges, threshold=threshold if split else 2**62, alpha=alpha, level=level)
     partial = sg.edges.groupBy("src", "src_tag").agg(
         F.collect_set("dst_tag").alias("part")
     )
-    return (
+    sets = (
         partial.groupBy(F.col("src_tag").alias("id"))
         .agg(
             F.sort_array(
                 F.array_distinct(F.flatten(F.collect_list("part")))
             ).alias("neighbors")
         )
+    )
+    if not as_string:
+        return sets
+    return sets.select(
+        "id",
+        F.array_join("neighbors", ",").alias("neighbors"),
+        F.size("neighbors").cast("long").alias("n_neighbors"),
     )
 
 

@@ -37,12 +37,13 @@ from ..superstep import (
     CHANGED,
     DEFAULT_BROADCAST_STATE_BUDGET,
     SuperstepRunner,
+    data_fingerprint,
     fits_broadcast_budget,
 )
 
 
 def pagerank(
-    edges: DataFrame,
+    edges: DataFrame | None,
     damping: float = 0.85,
     tol: float = 1e-6,
     max_iterations: int = 100,
@@ -55,59 +56,86 @@ def pagerank(
     use_long_ids: bool = True,
     broadcast_threshold_vertices: int | None = None,
     broadcast_state_budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET,
+    superstep_batch: int = 1,
+    prepared=None,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
     """(id, rank). ``fixed_iterations`` disables the tolerance check (used
-    by the SQL-oracle query, which unrolls exactly that many steps)."""
-    edges = normalize_edges(edges)
-    spark = edges.sparkSession
-    sg = split_graph(
-        edges,
-        threshold=threshold if split else 2**62,
-        alpha=alpha,
-        level=level,
-        mode=mode,
-    )
+    by the SQL-oracle query, which unrolls exactly that many steps).
 
-    tag_dict = None
-    if use_long_ids:
-        try:
-            eg = encode_split_graph(sg)
-            sub_raw, e_raw, tag_dict = eg.vertices, eg.edges, eg.tag_dict
-        except IdCollisionError:
-            use_long_ids = False
-    if not use_long_ids:
-        sub_raw, e_raw = sg.vertices, sg.edges.select("src", "dst_tag", "w")
+    ``superstep_batch=K`` chains K supersteps per materializing action —
+    identical results (the chain is the same plan, composed lazily), but
+    the per-job driver overhead amortizes K-fold. Worth it on small graphs
+    where a superstep's compute is sub-second; convergence is then only
+    observed every K steps (≤ K−1 overshoot supersteps after the fixpoint).
 
-    # Static per-superstep inputs. Pre-hash-partition the routing edges by
-    # the scatter-join key and localCheckpoint: LogicalRDD preserves the
-    # partitioning, so every superstep's edge-side exchange is elided —
-    # only the (vertex-sized) rank table shuffles per iteration.
-    sub = sub_raw.localCheckpoint(eager=True)
-    e = (
-        e_raw.select("src", "dst_tag")
-        .repartition(F.col("src"))
-        .localCheckpoint(eager=True)
-    )
+    ``prepared`` (a ``sources.graph_store.PreparedGraph``) is the restart
+    path: the split/encode/bucketed layout was persisted by an earlier run,
+    so this call skips the split AND the initial repartition — the bucketed
+    scan already carries HashPartitioning(src), so the edge side never
+    exchanges, cold start included. ``split/threshold/alpha/level/mode/
+    use_long_ids`` are baked into the persisted layout and ignored here.
+    """
+    if prepared is not None:
+        spark = prepared.edges.sparkSession
+        # bucketed tables: the scan's HashPartitioning(src) replaces the
+        # repartition+localCheckpoint below; cache keeps re-scans in memory
+        # (InMemoryRelation preserves the bucketed partitioning)
+        e = prepared.edges.cache()
+        sub_deg = prepared.sub_deg.cache()
+        tag_dict = prepared.tag_dict
+        deg = prepared.degrees().localCheckpoint(eager=True)
+    else:
+        edges = normalize_edges(edges)
+        spark = edges.sparkSession
+        sg = split_graph(
+            edges,
+            threshold=threshold if split else 2**62,
+            alpha=alpha,
+            level=level,
+            mode=mode,
+        )
 
-    # Undirected degree per original vertex: on the undirected-expanded set
-    # the in-rows of a tag equal its out-rows, so groupBy(dst_tag) works on
-    # both the encoded and string representations.
-    deg = (
-        e.groupBy(F.col("dst_tag").alias("tag"))
-        .agg(F.count("*").cast("double").alias("deg"))
-        .localCheckpoint(eager=True)
-    )
+        tag_dict = None
+        if use_long_ids:
+            try:
+                eg = encode_split_graph(sg)
+                sub_raw, e_raw, tag_dict = eg.vertices, eg.edges, eg.tag_dict
+            except IdCollisionError:
+                use_long_ids = False
+        if not use_long_ids:
+            sub_raw, e_raw = sg.vertices, sg.edges.select("src", "dst_tag", "w")
+
+        # Static per-superstep inputs. Pre-hash-partition the routing edges
+        # by the scatter-join key and localCheckpoint: LogicalRDD preserves
+        # the partitioning, so every superstep's edge-side exchange is
+        # elided — only the (vertex-sized) rank table shuffles per
+        # iteration.
+        sub = sub_raw.localCheckpoint(eager=True)
+        e = (
+            e_raw.select("src", "dst_tag")
+            .repartition(F.col("src"))
+            .localCheckpoint(eager=True)
+        )
+
+        # Undirected degree per original vertex: on the undirected-expanded
+        # set the in-rows of a tag equal its out-rows, so groupBy(dst_tag)
+        # works on both the encoded and string representations.
+        deg = (
+            e.groupBy(F.col("dst_tag").alias("tag"))
+            .agg(F.count("*").cast("double").alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        # contribution weight rank/deg travels with each sub-vertex
+        sub_deg = (
+            sub.join(deg.withColumnRenamed("tag", "t"), sub["tag"] == F.col("t"))
+            .select(F.col("id").alias("src"), "tag", "deg")
+            .localCheckpoint(eager=True)
+        )
+
     n = deg.count()
     base = (1.0 - damping) / n
-
     init = deg.select("tag", F.lit(1.0 / n).alias("rank"))
-    # contribution weight rank/deg travels with each sub-vertex
-    sub_deg = (
-        sub.join(deg.withColumnRenamed("tag", "t"), sub["tag"] == F.col("t"))
-        .select(F.col("id").alias("src"), "tag", "deg")
-        .localCheckpoint(eager=True)
-    )
 
     check_conv = fixed_iterations is None
     iters = fixed_iterations if fixed_iterations is not None else max_iterations
@@ -162,11 +190,18 @@ def pagerank(
         return state.join(msgs.hint("shuffle_hash"), "tag", "left").select(*cols)
 
     runner = runner or SuperstepRunner(spark)
+    if superstep_batch > 1 and runner.batch_size == 1:
+        runner.batch_size = superstep_batch
     if runner.fingerprint is None:
-        runner.fingerprint = (
+        fp = (
             f"pagerank:v2:damping={damping}:tol={tol}:fixed={fixed_iterations}:"
             f"split={split}:threshold={threshold}:alpha={alpha}:level={level}:mode={mode}"
         )
+        if runner.checkpoint_dir:
+            # input identity: resuming this dir against a different edge
+            # table must start fresh, not load matching-schema stale state
+            fp += f":data[{data_fingerprint(e, 'src', 'dst_tag')}]"
+        runner.fingerprint = fp
     final = runner.run(init, step, iters)
     if tag_dict is not None:
         final = decode(final, tag_dict, col="tag")

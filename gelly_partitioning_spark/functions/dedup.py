@@ -248,11 +248,14 @@ def _jaccard_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash from per-token md5 bits.
+    """(id, simhash: long) — 60-bit SimHash from per-token md5 bits.
 
     Majority vote per bit over the distinct token set: bit b of md5(token)
     contributes ±1. Implemented with explode + conv(md5↦long) + bitwise
-    ops — JVM-side throughout.
+    ops — JVM-side throughout. 60 bits (15 hex chars of md5), not 64: the
+    value stays below 2^60 so ``conv(hex,16,10)`` (Spark) and
+    ``('0x'||hex)::BIGINT`` (DuckDB) agree without signed-overflow
+    semantics — the portability bound of the cross-engine oracle.
     """
     tok = df.select(
         F.col(id_col).alias("id"),

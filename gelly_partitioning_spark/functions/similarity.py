@@ -126,7 +126,16 @@ def _cosine_topk_numpy(
         bc = spark.sparkContext.broadcast((ids, M))
 
         def batches(it, _bc=bc):
+            from decimal import ROUND_HALF_UP, Decimal
+
             import pandas as pd
+
+            # HALF_UP at 6 decimals over the shortest double repr — exactly
+            # Spark's F.round(double, 6) (BigDecimal.valueOf + HALF_UP), so
+            # the per-shard top-k selection ranks on the same rounded key
+            # the final merge window ranks on (the sql flavor's key too).
+            def r6(x):
+                return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
             ids_b, M_b = _bc.value
             pos = {v: i for i, v in enumerate(ids_b)}
@@ -146,13 +155,16 @@ def _cosine_topk_numpy(
                     take = min(k, valid)
                     if take <= 0:
                         continue
-                    idx = np.argpartition(-s, take - 1)[:take]
-                    # order by (-cos, neighbor id) to match the SQL flavor
-                    order = sorted(idx, key=lambda j: (-s[j], ids_b[j]))
+                    # preselect by raw score with slack, then order exactly
+                    # by (rounded desc, neighbor asc) — the slack absorbs
+                    # raw-vs-rounded reorders around the k boundary
+                    pre = min(take + 8, valid)
+                    idx = np.argpartition(-s, pre - 1)[:pre]
+                    order = sorted(idx, key=lambda j: (-r6(s[j]), ids_b[j]))[:take]
                     for j in order:
                         out_id.append(qid)
                         out_nb.append(ids_b[j])
-                        out_cos.append(round(float(s[j]), 6))
+                        out_cos.append(float(s[j]))
                 yield pd.DataFrame({"id": out_id, "neighbor": out_nb, "cos": out_cos})
 
         part = src.mapInPandas(batches, "id long, neighbor long, cos double")
@@ -166,6 +178,9 @@ def _cosine_topk_numpy(
     merged = partials[0]
     for p in partials[1:]:
         merged = merged.unionAll(p)
+    # rank on the same HALF_UP 6-decimal key as the sql flavor (rounding
+    # happens once, here — shards emit raw doubles)
+    merged = merged.withColumn("cos", F.round("cos", 6))
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (
         merged.withColumn("rk", F.row_number().over(w))
@@ -191,6 +206,33 @@ def _hyperplane_sign(unit_col, plane: int, dim: int):
     return (_dot(unit_col, weights) >= 0).cast("int")
 
 
+def _lsh_candidates(
+    u: DataFrame, n_planes: int, n_tables: int, dim: int, ordered: bool
+) -> DataFrame:
+    """Candidate pairs sharing a full sign pattern in ANY of the L tables.
+
+    Bucket keys are uniform hashes of the sign pattern — the join is
+    balanced by construction; each colliding pair is deduped before
+    scoring. ``ordered=True`` keeps only id_a < id_b (undirected pairs);
+    ``False`` keeps both directions (per-query top-k).
+    """
+    bucket_cols = [
+        F.concat(
+            F.lit(f"{t}:"),
+            *[
+                _hyperplane_sign(F.col("_unit"), t * n_planes + p, dim).cast("string")
+                for p in range(n_planes)
+            ],
+        )
+        for t in range(n_tables)
+    ]
+    sig = u.select("id", F.explode(F.array(*bucket_cols)).alias("bucket"))
+    a = sig.select(F.col("id").alias("id_a"), "bucket")
+    b = sig.select(F.col("id").alias("id_b"), "bucket")
+    pred = F.col("id_a") < F.col("id_b") if ordered else F.col("id_a") != F.col("id_b")
+    return a.join(b, "bucket").filter(pred).select("id_a", "id_b").distinct()
+
+
 def ann_lsh_topk(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -213,25 +255,7 @@ def ann_lsh_topk(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
-    bucket_cols = [
-        F.concat(
-            F.lit(f"{t}:"),
-            *[
-                _hyperplane_sign(F.col("_unit"), t * n_planes + p, dim).cast("string")
-                for p in range(n_planes)
-            ],
-        )
-        for t in range(n_tables)
-    ]
-    sig = u.select("id", "_unit", F.explode(F.array(*bucket_cols)).alias("bucket"))
-    a = sig.select(F.col("id").alias("id_a"), "bucket")
-    b = sig.select(F.col("id").alias("id_b"), "bucket")
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _lsh_candidates(u, n_planes, n_tables, dim, ordered=False)
     va = u.select(F.col("id").alias("id_a"), F.col("_unit").alias("va"))
     vb = u.select(F.col("id").alias("id_b"), F.col("_unit").alias("vb"))
     pairs = (
@@ -252,15 +276,44 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     min_cos: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs above a cosine threshold — embedding-space
-    near-dup detection (brute force; swap in ann_lsh for scale)."""
+    near-dup detection.
+
+    method='lsh' (default, the scale path): multi-table hyperplane LSH
+        buckets generate candidates (uniform bucket keys — a balanced
+        equi-join, never all-pairs), each candidate verified exactly
+        against ``min_cos``. The md5-derived hyperplanes are portable, so
+        the DuckDB oracle reproduces the candidate set bit-for-bit.
+        Recall < 1 for pairs barely above the threshold is inherent to
+        LSH; raise ``n_tables`` to trade compute for recall.
+    method='exact': brute-force O(n²) crossJoin — the oracle twin for
+        small n; never run this flavor at size.
+    """
     u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
-    a = u.select(F.col("id").alias("id_a"), F.col("_unit").alias("va"))
-    b = u.select(F.col("id").alias("id_b"), F.col("_unit").alias("vb"))
+    if method == "exact":
+        a = u.select(F.col("id").alias("id_a"), F.col("_unit").alias("va"))
+        b = u.select(F.col("id").alias("id_b"), F.col("_unit").alias("vb"))
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos"))
+        )
+        return pairs.filter(F.col("cos") >= min_cos)
+    if method != "lsh":
+        raise ValueError(f"unknown method: {method}")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cand = _lsh_candidates(u, n_planes, n_tables, dim, ordered=True)
+    va = u.select(F.col("id").alias("id_a"), F.col("_unit").alias("va"))
+    vb = u.select(F.col("id").alias("id_b"), F.col("_unit").alias("vb"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= min_cos)
     )

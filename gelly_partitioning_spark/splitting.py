@@ -102,11 +102,20 @@ def split_graph(
     Returns undirected-expanded routing edges whose skewed endpoints are
     rewritten to sub-vertex ids, plus the (id, tag) sub-vertex table.
 
-    ``threshold=None`` derives xMin from the data: ceil(average degree),
-    floored at 2 — the reference's data-driven intent
-    (AlphaNodeSplitting.java:82-102 computes the mean degree as xMin; the
-    power-law fit at SortDegreeNodeSplitting.java:55-58 is stubbed there
-    too). One tiny extra agg job on the degree table, auto mode only.
+    ``threshold=None`` derives xMin from the data (one extra reducible agg
+    job on the degree table, auto mode only):
+
+    - graphs with ≥ 10,000 vertices: the p99.9 degree quantile (via
+      approx_percentile — one-pass, bounded sketch memory), floored at the
+      mean. This is the reference's *stubbed intent* — a power-law tail
+      cut (SortDegreeNodeSplitting.java:55-58) — rather than what it
+      executes: on real power-law data the mean sits inside the bulk and
+      would split a large fraction of ordinary vertices, while the
+      quantile splits only the extreme tail the technique exists for.
+    - smaller graphs: ceil(average degree), floored at 2 — what the
+      reference executes (AlphaNodeSplitting.java:82-102); below ~10k
+      vertices the p99.9 quantile is just the max degree and would
+      select nothing.
     """
     # One shared, lazily-materialized undirected set: the degree pass and
     # the rewrite pass would otherwise each re-run the upstream scan +
@@ -117,8 +126,16 @@ def split_graph(
             F.count("*").cast("long").alias("degree")
         )
     if threshold is None:
-        row = degree_df.agg(F.ceil(F.avg("degree")).alias("t")).first()
-        threshold = max(int(row["t"]) if row["t"] is not None else 2, 2)
+        row = degree_df.agg(
+            F.count("*").alias("n"),
+            F.ceil(F.avg("degree")).alias("mean_t"),
+            F.expr("approx_percentile(degree, 0.999)").alias("q_t"),
+        ).first()
+        mean_t = max(int(row["mean_t"]) if row["mean_t"] is not None else 2, 2)
+        if (row["n"] or 0) >= 10_000 and row["q_t"] is not None:
+            threshold = max(int(row["q_t"]), mean_t)
+        else:
+            threshold = mean_t
     if mode == "flat":
         e = _split_flat(und, degree_df, threshold, alpha, level)
     elif mode == "tree":
@@ -202,6 +219,22 @@ def _split_tree(und: DataFrame, threshold: int, alpha: int, level: int) -> DataF
         skewed = deg.filter(F.col("degree") > threshold).select("id")
         if skewed.isEmpty():
             break
+        # same reserved-separator guard as _split_flat: an input id that
+        # already contains SEP would make generated sub-vertex ids ambiguous
+        # (level-0 only: deeper levels split ids the engine itself minted)
+        if lvl == 0:
+            skewed = skewed.select(
+                F.when(~F.col("id").contains(SEP), F.col("id"))
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(f"vertex id contains reserved separator {SEP!r}: "),
+                            F.col("id"),
+                        )
+                    )
+                )
+                .alias("id")
+            )
         alpha_col = f"__alpha_{lvl}"
         sk_src = F.broadcast(skewed.select(F.col("id").alias("src"), F.lit(int(alpha)).cast("long").alias(alpha_col)))
         sk_dst = F.broadcast(skewed.select(F.col("id").alias("dst"), F.lit(int(alpha)).cast("long").alias(alpha_col + "d")))

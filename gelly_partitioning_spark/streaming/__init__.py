@@ -1,6 +1,7 @@
 from .stream_ops import (
     incremental_degrees,
     sessionize,
+    sessionize_stream,
     stream_edges_from_directory,
     windowed_event_counts,
 )
@@ -8,6 +9,7 @@ from .stream_ops import (
 __all__ = [
     "incremental_degrees",
     "sessionize",
+    "sessionize_stream",
     "stream_edges_from_directory",
     "windowed_event_counts",
 ]

@@ -11,10 +11,13 @@ the continuous-ingest side of a link-graph pipeline:
   batch Split-Merge jobs read to pick thresholds.
 - ``windowed_event_counts``: tumbling event-time window with watermark —
   the canonical late-data-tolerant aggregation.
-- ``sessionize``: gap-based sessionization. Batch flavor uses a lag window
-  (also exposed to the SQL oracle); the streaming flavor would use
-  ``applyInPandasWithState`` — kept batch-first here since the reference
-  has no streaming semantics to match.
+- ``sessionize``: gap-based sessionization, batch flavor (lag window; also
+  exposed to the SQL oracle).
+- ``sessionize_stream``: the stateful streaming flavor via
+  ``applyInPandasWithState`` — O(#users) state (one open session per
+  user), a session row is EMITTED when it closes (a newer event lands
+  beyond the gap). The batch flavor is its oracle twin in tests; the
+  reference itself has no streaming semantics to match (SURVEY §2.10).
 """
 
 from __future__ import annotations
@@ -69,6 +72,77 @@ def windowed_event_counts(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming gap-sessionization with explicit state (append mode).
+
+    Per user the state store holds ONE open session (start, end, n) —
+    bounded O(#users) state, never O(#events). Each micro-batch folds its
+    rows (event-time order within the batch) into the open session:
+
+      - gap exceeded → emit the closed session, open a new one
+      - otherwise    → extend (modestly late rows merge: start=min,
+                       end=max — same outcome the batch flavor produces
+                       when the late row belongs to the open session)
+
+    The final open session per user stays in state until a later event
+    closes it — standard append-mode streaming semantics. Cross-checked
+    against the batch ``sessionize`` oracle in tests (late rows included).
+    Arrow-batched pandas throughout; state round-trips as epoch ns longs.
+    """
+    import pandas as pd  # noqa: F401 (vectorized batches)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ns = int(gap_minutes) * 60 * 1_000_000_000
+    uid_type = dict(events.dtypes)["user_id"]
+    out_schema = (
+        f"user_id {uid_type}, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+    state_schema = "start long, end long, n long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user,) = key
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        closed = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["ts"])
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+            for t in sorted(v.value for v in ts):
+                if start is None:
+                    start = end = t
+                    n = 1
+                elif t > end + gap_ns:
+                    closed.append((user, start, end, n))
+                    start = end = t
+                    n = 1
+                else:
+                    start = min(start, t)
+                    end = max(end, t)
+                    n += 1
+        if start is not None:
+            state.update((start, end, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1]) for c in closed],
+                    "session_end": [pd.Timestamp(c[2]) for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 

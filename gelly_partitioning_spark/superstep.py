@@ -34,6 +34,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MANIFEST = "manifest.json"
+MANIFEST_LOG = "manifests.jsonl"
 CHANGED = "_changed"
 
 # Broadcast-state scatter budget: the per-superstep broadcast of the vertex
@@ -66,6 +67,21 @@ def fits_broadcast_budget(
     return n_rows * estimate_row_bytes(schema) <= budget_bytes
 
 
+def data_fingerprint(df: DataFrame, *cols: str) -> str:
+    """Cheap order-insensitive identity of an input table: row count +
+    bit_xor of per-row xxhash64 over ``cols``. Folded into the runner
+    fingerprint so a resume against a checkpoint_dir written for a
+    *different input* starts fresh instead of silently loading stale state
+    (count catches xor-cancelling duplicate rows; xor catches count-
+    preserving edits). One reducible agg job — run it on the already-
+    checkpointed edge table, only when a checkpoint_dir is in play."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])).alias("h"),
+    ).first()
+    return f"n={row['n']}:xor={row['h']}"
+
+
 @dataclass
 class SuperstepMetrics:
     superstep: int
@@ -91,14 +107,29 @@ class SuperstepRunner:
     spark: SparkSession
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 5
+    # snapshot compaction: keep the newest k parquet snapshots; older ones
+    # are deleted after each new snapshot lands (the append-only
+    # manifests.jsonl keeps the full lineage of every snapshot ever taken)
+    keep_snapshots: int = 2
     collect_partition_metrics: bool = False
+    # supersteps composed lazily per materializing action. >1 amortizes the
+    # per-job driver overhead (scheduling + one collect per action) across
+    # K supersteps — the dominant cost on small graphs where a superstep's
+    # actual compute is well under a second. Convergence is only observed
+    # at batch boundaries (a converged monotone algorithm just no-ops the
+    # overshoot steps), and step functions that read ``runner.metrics``
+    # between supersteps (LP's workset crossover) need batch_size=1.
+    batch_size: int = 1
     metrics: list = field(default_factory=list)
     converged: bool = False
-    # identity of the run (algorithm name + parameters). Stored in the
-    # manifest; a resume from a checkpoint_dir whose manifest carries a
-    # different fingerprint (or an incompatible state schema) starts fresh
-    # instead of silently loading foreign state.
+    # identity of the run (algorithm name + parameters + input-data
+    # fingerprint). Stored in the manifest; a resume from a checkpoint_dir
+    # whose manifest carries a different fingerprint (or an incompatible
+    # state schema) starts fresh instead of silently loading foreign state.
     fingerprint: Optional[str] = None
+    # superstep of the most recent snapshot (0 = none yet) — bounds the
+    # incremental metrics slice written into each manifest
+    _last_snapshot: int = 0
 
     def run(
         self,
@@ -110,12 +141,18 @@ class SuperstepRunner:
         state, start_iteration = self._maybe_resume(state, start_iteration)
         state = state.localCheckpoint(eager=True)
         self.converged = False
-        for i in range(start_iteration, max_iterations + 1):
+        i = start_iteration
+        while i <= max_iterations:
             t0 = time.time()
+            k = max(1, min(self.batch_size, max_iterations - i + 1))
             # lazy localCheckpoint: the convergence agg below is the one
-            # materializing action per superstep — it computes the new
-            # state, caches it, and truncates lineage in a single job
-            new_state = step(state, i).localCheckpoint(eager=False)
+            # materializing action per batch — it computes the k chained
+            # superstep states, caches the last, and truncates lineage in
+            # a single job
+            new_state = step(state, i)
+            for j in range(1, k):
+                new_state = step(new_state.drop(CHANGED), i + j)
+            new_state = new_state.localCheckpoint(eager=False)
             has_flag = CHANGED in new_state.columns
             if has_flag:
                 agg = new_state.agg(
@@ -126,7 +163,8 @@ class SuperstepRunner:
                 new_state = new_state.drop(CHANGED)
             else:
                 rows, changed = new_state.count(), None
-            m = SuperstepMetrics(i, rows, changed, time.time() - t0)
+            i_end = i + k - 1
+            m = SuperstepMetrics(i_end, rows, changed, time.time() - t0)
             if self.collect_partition_metrics:
                 m.partition_rows = [
                     r["c"]
@@ -137,11 +175,14 @@ class SuperstepRunner:
                 ]
             self.metrics.append(m)
             state = new_state
-            if self.checkpoint_dir and (i % self.checkpoint_every == 0):
-                self._snapshot(state, i)
+            if self.checkpoint_dir and (
+                i_end // self.checkpoint_every > (i - 1) // self.checkpoint_every
+            ):
+                self._snapshot(state, i_end)
             if changed == 0:
                 self.converged = True
                 break
+            i = i_end + 1
         return state
 
     # -- checkpoint / resume ------------------------------------------------
@@ -154,13 +195,48 @@ class SuperstepRunner:
             "path": path,
             "schema": state.schema.json(),
             "fingerprint": self.fingerprint,
-            "metrics": [m.to_dict() for m in self.metrics],
+            # incremental: only metrics since the previous snapshot ride in
+            # manifest.json; the full history accumulates append-only in
+            # manifests.jsonl (long runs no longer rewrite an ever-growing
+            # metrics array every k supersteps)
+            "metrics": [
+                m.to_dict() for m in self.metrics if m.superstep > self._last_snapshot
+            ],
+            "prior_metrics_in": MANIFEST_LOG if self._last_snapshot else None,
             "ts": time.time(),
         }
+        # append-only lineage log: one line per snapshot ever taken (kept
+        # through compaction — the durable per-superstep lineage record)
+        with open(os.path.join(self.checkpoint_dir, MANIFEST_LOG), "a") as f:
+            f.write(json.dumps(manifest) + "\n")
         tmp = os.path.join(self.checkpoint_dir, MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.checkpoint_dir, MANIFEST))
+        self._last_snapshot = superstep
+        self._compact_snapshots(superstep)
+
+    def _compact_snapshots(self, latest: int) -> None:
+        """Delete all but the newest ``keep_snapshots`` parquet snapshots
+        (resume only ever reads the latest; the extras are insurance
+        against a torn write of the newest one)."""
+        import re
+        import shutil
+
+        if self.keep_snapshots <= 0:
+            return
+        pat = re.compile(r"^superstep=(\d+)$")
+        found = []
+        for name in os.listdir(self.checkpoint_dir):
+            mt = pat.match(name)
+            if mt:
+                found.append(int(mt.group(1)))
+        for s in sorted(found, reverse=True)[self.keep_snapshots:]:
+            if s < latest:  # never delete the one just written
+                shutil.rmtree(
+                    os.path.join(self.checkpoint_dir, f"superstep={s}"),
+                    ignore_errors=True,
+                )
 
     def _maybe_resume(self, state: DataFrame, start_iteration: int):
         if not self.checkpoint_dir:
@@ -197,8 +273,36 @@ class SuperstepRunner:
             )
             return state, start_iteration
         resumed = self.spark.read.parquet(manifest["path"])
-        self.metrics = [SuperstepMetrics(**m) for m in manifest.get("metrics", [])]
+        self.metrics = self._replay_metrics(manifest)
+        self._last_snapshot = manifest["superstep"]
         return resumed, manifest["superstep"] + 1
+
+    def _replay_metrics(self, manifest: dict) -> list:
+        """Rebuild the full metrics history from the append-only log (each
+        manifest carries only its incremental slice). Lines from other runs
+        (different fingerprint) or rewound/duplicated snapshots are
+        filtered; the latest line per superstep wins."""
+        lpath = os.path.join(self.checkpoint_dir, MANIFEST_LOG)
+        chunks: dict[int, list] = {}
+        if os.path.exists(lpath):
+            with open(lpath) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    if rec.get("fingerprint") != self.fingerprint:
+                        continue
+                    if rec["superstep"] <= manifest["superstep"]:
+                        chunks[rec["superstep"]] = rec.get("metrics", [])
+        chunks[manifest["superstep"]] = manifest.get("metrics", [])
+        out, seen = [], set()
+        for s in sorted(chunks):
+            for m in chunks[s]:
+                if m["superstep"] not in seen and m["superstep"] <= manifest["superstep"]:
+                    seen.add(m["superstep"])
+                    out.append(SuperstepMetrics(**m))
+        return out
 
     def metrics_json(self) -> str:
         return json.dumps([m.to_dict() for m in self.metrics])

@@ -83,3 +83,65 @@ def test_sessionize_gap_semantics(spark):
     assert len(by_user[1]) == 2
     assert {r["n_events"] for r in by_user[1]} == {2, 1}
     assert len(by_user[2]) == 1
+
+
+def test_sessionize_stream_matches_batch_oracle(spark, tmp_path):
+    """Stateful streaming flavor (applyInPandasWithState) vs the batch
+    oracle, across two micro-batches with a LATE row that merges into an
+    already-open session. Emitted = every session the batch flavor closes
+    (the last open session per user legitimately stays in state)."""
+    import datetime as dt
+
+    from gelly_partitioning_spark.streaming import sessionize_stream
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batch1 = [
+        (1, base, 1, "a", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 1, "a", 1.0, "{}"),
+        (3, base, 2, "a", 1.0, "{}"),
+    ]
+    batch2 = [
+        (4, base + dt.timedelta(minutes=5), 1, "a", 1.0, "{}"),    # late: merges
+        (5, base + dt.timedelta(minutes=120), 1, "a", 1.0, "{}"),  # closes u1 s1
+        (6, base + dt.timedelta(minutes=200), 2, "a", 1.0, "{}"),  # closes u2 s1
+    ]
+    src = tmp_path / "events"
+    ckpt = tmp_path / "ckpt"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(str(src))
+    time.sleep(1.1)  # distinct mtimes → deterministic two-batch order
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+
+    # oracle: batch sessionize over the union; closed = all but the last
+    # session per user
+    allev = spark.createDataFrame(batch1 + batch2, schema)
+    sess = sessionize(allev, gap_minutes=30).collect()
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = set()
+    for _, rows in by_user.items():
+        rows.sort(key=lambda r: r["session_start"])
+        for r in rows[:-1]:
+            want.add((r["user_id"], r["session_start"], r["session_end"], r["n_events"]))
+    assert got == want
+    # the late row (t0+5m) must have merged: u1's closed session has 3 events
+    assert any(u == 1 and n == 3 for u, _, _, n in got)
