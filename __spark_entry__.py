@@ -291,6 +291,18 @@ def _q_cosine_topk(spark, sf_dir):
     return t.select("id", "neighbor", _dec6(F.col("cos")).alias("cos"), "rk")
 
 
+def _q_cosine_topk_blocked(spark, sf_dir):
+    # the exact SCALE path: (query-block × ref-block) grid cogroup — all
+    # cells run concurrently, no broadcast, no serial driver loop; small
+    # block_bytes forces a real multi-cell grid even at sf0.01. Same
+    # oracle as cosine_topk (the algorithm is exact).
+    t = cosine_topk(
+        _embeddings(spark, sf_dir), k=3, implementation="blocked",
+        shard_bytes=64 << 10,
+    )
+    return t.select("id", "neighbor", _dec6(F.col("cos")).alias("cos"), "rk")
+
+
 def _q_windowed_events(spark, sf_dir):
     from gelly_partitioning_spark.streaming import windowed_event_counts
 
@@ -389,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_near_dup": _q_token_jaccard,
         "minhash_lsh": _q_minhash,
         "cosine_topk": _q_cosine_topk,
+        "cosine_topk_blocked": _q_cosine_topk_blocked,
         "ann_lsh_topk": _q_ann_lsh,
         "windowed_event_counts": _q_windowed_events,
         "sessionize": _q_sessionize,
@@ -603,6 +616,8 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY id ORDER BY cos DESC, neighbor ASC) AS rk FROM pairs) "
         "SELECT id, neighbor, cos, rk FROM ranked WHERE rk <= 3"
     )
+    # blocked grid flavor is exact — same oracle as the sql flavor
+    sql["cosine_topk_blocked"] = sql["cosine_topk"]
     sql["windowed_event_counts"] = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "COUNT(*) AS n_events, CAST(CAST(SUM(value) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value "

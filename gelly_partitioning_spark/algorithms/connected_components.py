@@ -50,7 +50,7 @@ ACTIVE = "_active"
 
 
 def connected_components(
-    edges: DataFrame,
+    edges: DataFrame | None,
     max_iterations: int = 50,
     split: bool = True,
     threshold: int | None = 2,
@@ -60,19 +60,41 @@ def connected_components(
     numeric_ids: bool = False,
     broadcast_threshold_vertices: int | None = None,
     broadcast_state_budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET,
+    prepared=None,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
-    """(id, component) at convergence (or max_iterations)."""
-    edges = normalize_edges(edges)
-    spark = edges.sparkSession
-    sg = split_graph(
-        edges,
-        threshold=threshold if split else 2**62,
-        alpha=alpha,
-        level=level,
-        mode=mode,
-    )
-    sub = sg.vertices.localCheckpoint(eager=True)  # static (id, tag)
+    """(id, component) at convergence (or max_iterations).
+
+    ``prepared`` (a ``sources.graph_store.PreparedGraph``) is the restart
+    path: the persisted bucketed layout replaces split + the initial edge
+    repartition (the bucketed scan already carries HashPartitioning(src)).
+    It must be a STRING layout (``use_long_ids=False``): the component id
+    is the *minimum original id*, and min over xxhash64-encoded longs
+    would elect a different representative. Always uses the salted-shuffle
+    scatter — the path the bucketed layout exists for.
+    """
+    if prepared is not None:
+        if prepared.tag_dict is not None:
+            raise ValueError(
+                "connected_components needs a string prepared layout "
+                "(save_prepared_graph(..., use_long_ids=False)): min-id "
+                "component semantics are defined on original ids, not "
+                "xxhash64 encodings"
+            )
+        spark = prepared.edges.sparkSession
+        sub = prepared.sub_deg.select(F.col("src").alias("id"), "tag").cache()
+        e = prepared.edges.select("src", "dst_tag").cache()
+    else:
+        edges = normalize_edges(edges)
+        spark = edges.sparkSession
+        sg = split_graph(
+            edges,
+            threshold=threshold if split else 2**62,
+            alpha=alpha,
+            level=level,
+            mode=mode,
+        )
+        sub = sg.vertices.localCheckpoint(eager=True)  # static (id, tag)
 
     comp_t = "long" if numeric_ids else "string"
     init = (
@@ -86,13 +108,17 @@ def connected_components(
     # broadcast-state scatter when the state fits a per-superstep broadcast
     # BYTE budget (row counts are the wrong unit — see superstep.py); the
     # workset shrinks what is actually broadcast each superstep further.
-    if broadcast_threshold_vertices is not None:
+    if prepared is not None:
+        use_broadcast = False
+    elif broadcast_threshold_vertices is not None:
         use_broadcast = n <= broadcast_threshold_vertices
     else:
         use_broadcast = fits_broadcast_budget(
             n, init.schema, broadcast_state_budget_bytes
         )
-    if use_broadcast:
+    if prepared is not None:
+        pass  # e already set: bucketed scan, no repartition needed
+    elif use_broadcast:
         e = (
             sg.edges.select("src_tag", "dst_tag")
             .localCheckpoint(eager=True)

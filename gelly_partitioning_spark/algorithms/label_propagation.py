@@ -61,7 +61,7 @@ ACTIVE = "_active"
 
 
 def label_propagation(
-    edges: DataFrame,
+    edges: DataFrame | None,
     delta: float = 0.5,
     max_iterations: int = 30,
     split: bool = True,
@@ -73,21 +73,39 @@ def label_propagation(
     workset_ratio: float = 0.25,
     broadcast_threshold_vertices: int | None = None,
     broadcast_state_budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET,
+    prepared=None,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
     """(id, label) — community label per vertex. Labels are the numeric
     value of the id when castable, else a stable 64-bit hash (reference
-    labels are Long vertex ids, CommunityDetection.java:135-140)."""
-    edges = normalize_edges(edges)
-    spark = edges.sparkSession
-    sg = split_graph(
-        edges,
-        threshold=threshold if split else 2**62,
-        alpha=alpha,
-        level=level,
-        mode=mode,
-    )
-    sub = sg.vertices.localCheckpoint(eager=True)
+    labels are Long vertex ids, CommunityDetection.java:135-140).
+
+    ``prepared`` (a ``sources.graph_store.PreparedGraph``) is the restart
+    path: the persisted bucketed layout replaces split + the initial edge
+    repartition. It must be a STRING layout (``use_long_ids=False``):
+    initial labels derive from the *original* ids (numeric value or their
+    hash) — an xxhash64-encoded layout would mint different labels and
+    different tie-breaks. Always uses the salted-shuffle scatter."""
+    if prepared is not None:
+        if prepared.tag_dict is not None:
+            raise ValueError(
+                "label_propagation needs a string prepared layout "
+                "(save_prepared_graph(..., use_long_ids=False)): initial "
+                "labels derive from original ids, not xxhash64 encodings"
+            )
+        spark = prepared.edges.sparkSession
+        sub = prepared.sub_deg.select(F.col("src").alias("id"), "tag").cache()
+    else:
+        edges = normalize_edges(edges)
+        spark = edges.sparkSession
+        sg = split_graph(
+            edges,
+            threshold=threshold if split else 2**62,
+            alpha=alpha,
+            level=level,
+            mode=mode,
+        )
+        sub = sg.vertices.localCheckpoint(eager=True)
 
     # try_cast: non-numeric ids fall back to a stable 64-bit hash (a plain
     # cast throws under ANSI instead of returning NULL)
@@ -105,15 +123,18 @@ def label_propagation(
     )
     n = init.count()
 
-    if broadcast_threshold_vertices is not None:
+    if prepared is not None:
+        use_broadcast = False
+        e = prepared.edges.cache()  # (src, dst_tag, w), bucketed by src
+    elif broadcast_threshold_vertices is not None:
         use_broadcast = n <= broadcast_threshold_vertices
     else:
         use_broadcast = fits_broadcast_budget(
             n, init.schema, broadcast_state_budget_bytes
         )
-    if use_broadcast:
+    if prepared is None and use_broadcast:
         e = sg.edges.select("src_tag", "dst_tag", "w").localCheckpoint(eager=True)
-    else:
+    elif prepared is None:
         e = (
             sg.edges.select("src", "dst_tag", "w")
             .repartition(F.col("src"))  # reused by every superstep's scatter join

@@ -81,7 +81,7 @@ def pagerank(
         # bucketed tables: the scan's HashPartitioning(src) replaces the
         # repartition+localCheckpoint below; cache keeps re-scans in memory
         # (InMemoryRelation preserves the bucketed partitioning)
-        e = prepared.edges.cache()
+        e = prepared.edges.select("src", "dst_tag").cache()
         sub_deg = prepared.sub_deg.cache()
         tag_dict = prepared.tag_dict
         deg = prepared.degrees().localCheckpoint(eager=True)

@@ -65,11 +65,18 @@ def cosine_topk(
         per-shard top-k partials are merged with one window. ~10-100x
         faster than the SQL fold; float64 accumulation order differs from
         it only in the last ulp. Driver peak memory = one shard, never
-        the full matrix (beyond what sharding makes sensible, use
-        ``ann_lsh_topk``).
+        the full matrix. The shard loop is serial on the driver — fine to
+        ~100 shards; beyond that use 'blocked'.
+    implementation='blocked' — fully parallel exact top-k: the
+        (query-block × ref-block) grid cogroup. No broadcast, no serial
+        driver loop, no driver-side collect of vectors at all; per-task
+        memory = two blocks. The 10^8+-vector exact path (approximate
+        beyond that: ``ann_lsh_topk``).
     """
     if implementation == "numpy":
         return _cosine_topk_numpy(df, vec_col, id_col, k, shard_bytes=shard_bytes)
+    if implementation == "blocked":
+        return _cosine_topk_blocked(df, vec_col, id_col, k, block_bytes=shard_bytes)
     u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
     a = u.select(F.col("id").alias("id_a"), F.col("_unit").alias("va"))
     b = u.select(F.col("id").alias("id_b"), F.col("_unit").alias("vb"))
@@ -181,6 +188,105 @@ def _cosine_topk_numpy(
     # rank on the same HALF_UP 6-decimal key as the sql flavor (rounding
     # happens once, here — shards emit raw doubles)
     merged = merged.withColumn("cos", F.round("cos", 6))
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", "neighbor", "cos", "rk")
+    )
+
+
+def _cosine_topk_blocked(
+    df: DataFrame, vec_col: str, id_col: str, k: int, block_bytes: int = 64 << 20
+) -> DataFrame:
+    """Grid-blocked exact top-k — the classic distributed brute-force KNN.
+
+    Rows are hashed into Qb query blocks and Rb reference blocks (both
+    sized to ``block_bytes``); every (qb, rb) grid cell is one cogroup
+    group that scores its |Q|/Qb × |R|/Rb cross product with a single
+    BLAS matmul and keeps the per-query top-(k+slack). All Qb×Rb cells
+    run CONCURRENTLY as ordinary tasks — no broadcast, no serial driver
+    loop, nothing collected to the driver. Shuffle volume is the blocking
+    trade: each query row travels Rb times, each reference row Qb times
+    (rows, not O(n²) pairs). The global merge ranks the ≤ Rb·(k+slack)
+    partials per query on the HALF_UP 6-decimal key — same result as the
+    'sql'/'numpy' flavors (each true top-k neighbor is in its cell's
+    top-k, so the grid merge is exact).
+    """
+    import math
+
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    first = src.select(F.size("v").alias("d")).first()
+    if first is None:
+        return spark.createDataFrame([], "id long, neighbor long, cos double, rk int")
+    dim = first["d"]
+    n = src.count()
+    n_blocks = max(1, math.ceil(n * dim * 8 / block_bytes))
+
+    rbs = F.array(*[F.lit(i) for i in range(n_blocks)])
+    q = src.select(
+        "id", "v",
+        F.pmod(F.xxhash64("id"), F.lit(n_blocks)).alias("qb"),
+        F.explode(rbs).alias("rb"),
+    )
+    # rid/rv (not id/v): both sides derive from the same src plan, and a
+    # self-cogroup with shared attribute ids gets its right side
+    # column-pruned to the grouping keys (Catalyst dedupes the exprIds);
+    # fresh aliases force distinct attributes
+    r = src.select(
+        F.col("id").alias("rid"), F.col("v").alias("rv"),
+        F.pmod(F.xxhash64("id"), F.lit(n_blocks)).alias("rb"),
+        F.explode(rbs).alias("qb"),
+    )
+
+    def score(left, right):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id": [], "neighbor": [], "cos": []})
+
+        def r6(x):
+            return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+        def unit(m):
+            nn = np.linalg.norm(m, axis=1)
+            nn[nn == 0] = 1.0
+            return m / nn[:, None]
+
+        Q = unit(np.array(list(left["v"]), dtype=np.float64))
+        M = unit(np.array(list(right["rv"]), dtype=np.float64))
+        rids = right["rid"].to_numpy()
+        pos = {v: i for i, v in enumerate(rids)}
+        S = Q @ M.T
+        out_id, out_nb, out_cos = [], [], []
+        for row_i, qid in enumerate(left["id"]):
+            s = S[row_i]
+            valid = len(s)
+            if qid in pos:
+                s = s.copy()
+                s[pos[qid]] = -np.inf  # exclude self
+                valid -= 1
+            take = min(k, valid)
+            if take <= 0:
+                continue
+            pre = min(take + 8, valid)
+            idx = np.argpartition(-s, pre - 1)[:pre]
+            order = sorted(idx, key=lambda j: (-r6(s[j]), rids[j]))[:take]
+            out_id.extend([qid] * len(order))
+            out_nb.extend(rids[j] for j in order)
+            out_cos.extend(float(s[j]) for j in order)
+        return pd.DataFrame({"id": out_id, "neighbor": out_nb, "cos": out_cos})
+
+    part = (
+        q.groupBy("qb", "rb")
+        .cogroup(r.groupBy("qb", "rb"))
+        .applyInPandas(score, "id long, neighbor long, cos double")
+    )
+    merged = part.withColumn("cos", F.round("cos", 6))
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
     return (
         merged.withColumn("rk", F.row_number().over(w))

@@ -39,9 +39,11 @@ from ..splitting import split_graph
 class PreparedGraph:
     """Handle over the persisted layout.
 
-    edges:    (src, dst_tag) routing table, bucketed by src — the scatter
-              side. Cached on first use; the bucketed partitioning survives
-              the cache (InMemoryRelation keeps child partitioning).
+    edges:    (src, dst_tag, w) routing table, bucketed by src — the
+              scatter side (consumers project the columns they need; a
+              projection preserves the bucketed partitioning). Cached on
+              first use; the bucketed partitioning survives the cache
+              (InMemoryRelation keeps child partitioning).
     sub_deg:  (src, tag, deg) one row per sub-vertex, bucketed by src.
     tag_dict: (tag, id) decode dictionary when long-encoded, else None.
     """
@@ -109,7 +111,7 @@ def save_prepared_graph(
             .saveAsTable(tbl)
         )
 
-    write_bucketed(e.select("src", "dst_tag"), "edges")
+    write_bucketed(e.select("src", "dst_tag", "w"), "edges")
     write_bucketed(sub_deg, "subdeg")
     if tag_dict is not None:
         tbl = _table(name, "tags")

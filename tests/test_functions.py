@@ -263,6 +263,15 @@ def test_cosine_topk_numpy_sharded_matches_sql(embeddings):
         ).collect()
     }
     assert sharded == sql_t
+    # blocked grid flavor (4096-byte blocks force a multi-cell grid):
+    # exact — identical (neighbor, rank) assignment to the SQL flavor
+    blocked = {
+        (r["id"], r["rk"]): r["neighbor"]
+        for r in cosine_topk(
+            sub, k=3, implementation="blocked", shard_bytes=4096
+        ).collect()
+    }
+    assert blocked == sql_t
 
 
 def test_ngram_jaccard_prefix_equals_naive(tiny_docs):
