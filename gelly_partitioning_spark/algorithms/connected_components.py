@@ -42,6 +42,7 @@ from ..superstep import (
     CHANGED,
     DEFAULT_BROADCAST_STATE_BUDGET,
     SuperstepRunner,
+    checkpoint_static,
     data_fingerprint,
     fits_broadcast_budget,
 )
@@ -119,16 +120,10 @@ def connected_components(
     if prepared is not None:
         pass  # e already set: bucketed scan, no repartition needed
     elif use_broadcast:
-        e = (
-            sg.edges.select("src_tag", "dst_tag")
-            .localCheckpoint(eager=True)
-        )
+        e = checkpoint_static(sg.edges.select("src_tag", "dst_tag"))
     else:
-        e = (
-            sg.edges.select("src", "dst_tag")
-            .repartition(F.col("src"))  # reused by every superstep's scatter join
-            .localCheckpoint(eager=True)
-        )
+        # repartition(src): reused by every superstep's scatter join
+        e = checkpoint_static(sg.edges.select("src", "dst_tag").repartition(F.col("src")))
 
     def step(state: DataFrame, i: int):
         act = state.filter(F.col(ACTIVE)).select("tag", "component")

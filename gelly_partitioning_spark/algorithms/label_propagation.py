@@ -52,6 +52,7 @@ from ..superstep import (
     CHANGED,
     DEFAULT_BROADCAST_STATE_BUDGET,
     SuperstepRunner,
+    checkpoint_static,
     data_fingerprint,
     fits_broadcast_budget,
 )
@@ -133,13 +134,10 @@ def label_propagation(
             n, init.schema, broadcast_state_budget_bytes
         )
     if prepared is None and use_broadcast:
-        e = sg.edges.select("src_tag", "dst_tag", "w").localCheckpoint(eager=True)
+        e = checkpoint_static(sg.edges.select("src_tag", "dst_tag", "w"))
     elif prepared is None:
-        e = (
-            sg.edges.select("src", "dst_tag", "w")
-            .repartition(F.col("src"))  # reused by every superstep's scatter join
-            .localCheckpoint(eager=True)
-        )
+        # repartition(src): reused by every superstep's scatter join
+        e = checkpoint_static(sg.edges.select("src", "dst_tag", "w").repartition(F.col("src")))
 
     # 2|E_sub| rows — drives the delta-path affected-set budget guard
     e_rows = e.count() if workset else 0

@@ -37,6 +37,7 @@ from ..superstep import (
     CHANGED,
     DEFAULT_BROADCAST_STATE_BUDGET,
     SuperstepRunner,
+    checkpoint_static,
     data_fingerprint,
     fits_broadcast_budget,
 )
@@ -112,10 +113,8 @@ def pagerank(
         # elided — only the (vertex-sized) rank table shuffles per
         # iteration.
         sub = sub_raw.localCheckpoint(eager=True)
-        e = (
-            e_raw.select("src", "dst_tag")
-            .repartition(F.col("src"))
-            .localCheckpoint(eager=True)
+        e = checkpoint_static(
+            e_raw.select("src", "dst_tag").repartition(F.col("src"))
         )
 
         # Undirected degree per original vertex: on the undirected-expanded
@@ -159,10 +158,8 @@ def pagerank(
             n, init.schema, broadcast_state_budget_bytes
         )
     if use_broadcast:
-        e2 = (
-            e.join(sub_deg.hint("shuffle_hash"), "src")
-            .select("dst_tag", "tag", "deg")
-            .localCheckpoint(eager=True)
+        e2 = checkpoint_static(
+            e.join(sub_deg.hint("shuffle_hash"), "src").select("dst_tag", "tag", "deg")
         )
 
     def step(state: DataFrame, i: int):

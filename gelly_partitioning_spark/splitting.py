@@ -44,6 +44,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from .superstep import checkpoint_static
 from .graph import undirected
 
 # Sub-vertex id separator. The reference uses '_' (SplitVertex.java:88);
@@ -120,7 +121,7 @@ def split_graph(
     # One shared, lazily-materialized undirected set: the degree pass and
     # the rewrite pass would otherwise each re-run the upstream scan +
     # distinct (the explain audit showed the subtree duplicated).
-    und = undirected(edges).localCheckpoint(eager=False)
+    und = checkpoint_static(undirected(edges), eager=False)
     if degree_df is None:
         degree_df = und.groupBy(F.col("src").alias("id")).agg(
             F.count("*").cast("long").alias("degree")

@@ -67,6 +67,25 @@ def fits_broadcast_budget(
     return n_rows * estimate_row_bytes(schema) <= budget_bytes
 
 
+def checkpoint_static(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint for LARGE static tables (the edge-sized inputs every
+    superstep re-scans). Stored as serialized MEMORY_AND_DISK blocks
+    instead of the deserialized default: at 10^7+ rows the deserialized
+    blocks overflow the storage fraction and Spark degrades to a
+    partially-unrolled iterator that re-reads the data through
+    row-at-a-time Java deserialization — jstack showed single tasks
+    burning 20+ CPU-minutes there on a 37M-edge input. Serialized blocks
+    are ~3-5x smaller (UnsafeRow bytes), spill cleanly, and cost one
+    cheap bulk deserialization per scan. Vertex-sized state keeps the
+    deserialized default (fits in memory; fastest to re-scan).
+    GPS_STATIC_STORAGE=deser restores the old behavior for comparison."""
+    if os.environ.get("GPS_STATIC_STORAGE", "ser") == "deser":
+        return df.localCheckpoint(eager=eager)
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+
 def data_fingerprint(df: DataFrame, *cols: str) -> str:
     """Cheap order-insensitive identity of an input table: row count +
     bit_xor of per-row xxhash64 over ``cols``. Folded into the runner

@@ -50,8 +50,10 @@ REPO = Path(__file__).resolve().parent.parent
 EDGE_CACHE = "/tmp/gps_scaling_edges"
 LOCAL_DIR = "/tmp/gps_scaling_localdir"
 # per-leg heap scales with cores — the cluster analog of constant
-# per-executor memory (1.5 g/core)
-HEAP = {2: "3g", 4: "6g", 8: "12g", 16: "24g", 32: "48g"}
+# per-executor memory (SCALING_HEAP_PER_CORE_G, default 1.5 g/core)
+def _heap(cores: int) -> str:
+    per = float(os.environ.get("SCALING_HEAP_PER_CORE_G", "1.5"))
+    return f"{max(2, int(round(per * cores)))}g"
 
 
 def read_cpu_stat() -> tuple[int, int]:
@@ -192,7 +194,7 @@ def main():
     for rep in range(reps):
         for cores in levels:
             t_tot0, t_st0 = read_cpu_stat()
-            env = dict(os.environ, SPARK_DRIVER_MEMORY=HEAP[cores])
+            env = dict(os.environ, SPARK_DRIVER_MEMORY=_heap(cores))
             out = subprocess.run(
                 [sys.executable, __file__, "--level", str(cores), sf_dir, str(n_files)],
                 capture_output=True, text=True, env=env,
@@ -241,7 +243,7 @@ def main():
         "protocol": (
             f"interleaved A/B x{reps} reps, per-level min over clean legs "
             f"(steal <= {max_steal:.0%}), salted path, pinned local.dir, "
-            "heap 1.5g/core"
+            "heap " + os.environ.get("SCALING_HEAP_PER_CORE_G", "1.5") + "g/core"
         ),
         "levels": list(levels),
         "sf_dir": sf_dir if n_files == 0 else f"corpus:{n_files}",
