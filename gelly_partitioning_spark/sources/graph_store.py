@@ -113,12 +113,21 @@ def save_prepared_graph(
 
     write_bucketed(e.select("src", "dst_tag", "w"), "edges")
     write_bucketed(sub_deg, "subdeg")
+    tbl = _table(name, "tags")
+    # ALWAYS drop the old tags table first: re-preparing the same name as a
+    # string layout (use_long_ids=False, or after an IdCollisionError
+    # fallback) over a previously long-encoded layout must not leave a
+    # stale dictionary behind — load_prepared_graph would hand consumers a
+    # long-keyed tag_dict against string tags (silent empty/wrong joins)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if tag_dict is not None:
-        tbl = _table(name, "tags")
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         tag_dict.write.mode("overwrite").option("path", f"{base_path}/tags").format(
             "parquet"
         ).saveAsTable(tbl)
+    else:
+        import shutil
+
+        shutil.rmtree(f"{base_path}/tags", ignore_errors=True)
     return load_prepared_graph(spark, name)
 
 

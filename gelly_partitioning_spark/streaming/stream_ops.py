@@ -86,6 +86,13 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
       - otherwise    → extend (modestly late rows merge: start=min,
                        end=max — same outcome the batch flavor produces
                        when the late row belongs to the open session)
+      - VERY late (older than the open session's start by more than the
+        gap) → chained into its own earlier session and emitted closed
+        (never silently absorbed); it merges back into the open session
+        only when the chain reaches within the gap of ``start``. A late
+        row whose true batch-session was already emitted closed cannot
+        retro-merge — inherent to unwatermarked streaming; such rows
+        surface as an extra session rather than disappearing.
 
     The final open session per user stays in state until a later event
     closes it — standard append-mode streaming semantics. Cross-checked
@@ -113,23 +120,59 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             start = end = None
             n = 0
         closed = []
+        # collect ALL Arrow chunks first and sort ONCE — per-chunk sorting
+        # would let cross-chunk disorder close a session early and then
+        # misfold an earlier row into the newer session (ADVICE r3)
+        ts_all = []
         for pdf in pdfs:
             ts = pd.to_datetime(pdf["ts"])
             if getattr(ts.dt, "tz", None) is not None:
                 ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
-            for t in sorted(v.value for v in ts):
-                if start is None:
-                    start = end = t
-                    n = 1
-                elif t > end + gap_ns:
-                    closed.append((user, start, end, n))
-                    start = end = t
-                    n = 1
-                else:
-                    start = min(start, t)
-                    end = max(end, t)
-                    n += 1
+            ts_all.extend(v.value for v in ts)
+        ts_all.sort()
+        # chain of VERY late rows (older than the open session by more
+        # than the gap): they form their own earlier session(s) instead of
+        # being absorbed via start=min (ADVICE r3). Sorted order means one
+        # pending chain suffices; it merges into the open session iff it
+        # walks to within the gap of `start`.
+        lstart = lend = None
+        ln = 0
+
+        def resolve_late():
+            nonlocal start, n, lstart, lend, ln
+            if lstart is None:
+                return
+            if lend + gap_ns >= start:
+                start = min(start, lstart)
+                n += ln
+            else:
+                closed.append((user, lstart, lend, ln))
+            lstart = lend = None
+            ln = 0
+
+        for t in ts_all:
+            if start is None:
+                start = end = t
+                n = 1
+            elif t > end + gap_ns:
+                resolve_late()
+                closed.append((user, start, end, n))
+                start = end = t
+                n = 1
+            elif t >= start - gap_ns:
+                start = min(start, t)
+                end = max(end, t)
+                n += 1
+            elif lstart is None:
+                lstart, lend, ln = t, t, 1
+            elif t > lend + gap_ns:
+                closed.append((user, lstart, lend, ln))
+                lstart, lend, ln = t, t, 1
+            else:
+                lend = max(lend, t)
+                ln += 1
         if start is not None:
+            resolve_late()
             state.update((start, end, n))
         if closed:
             yield pd.DataFrame(

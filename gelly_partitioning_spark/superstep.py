@@ -67,6 +67,32 @@ def fits_broadcast_budget(
     return n_rows * estimate_row_bytes(schema) <= budget_bytes
 
 
+# batch_size sentinel: measure the first superstep (run with k=1), then
+# pick K so one materializing action carries ~AUTO_BATCH_TARGET_SEC of
+# supersteps — amortizing the fixed per-action driver cost without pushing
+# convergence observation (and overshoot) too far out
+AUTO_BATCH = 0
+AUTO_BATCH_TARGET_SEC = 3.0
+AUTO_BATCH_MAX = 16
+
+
+def choose_batch_size(
+    first_wall_sec: float,
+    target_sec: float = AUTO_BATCH_TARGET_SEC,
+    max_batch: int = AUTO_BATCH_MAX,
+) -> int:
+    """K supersteps per action from the measured first-superstep wall.
+
+    The measured wall includes the fixed per-action driver cost — exactly
+    the overhead batching amortizes — so K = target/wall is conservative:
+    a chained batch of K supersteps pays that fixed cost once, not K
+    times. Slow supersteps (>= target) stay unbatched (convergence is
+    observed every superstep); sub-second supersteps batch up to
+    ``max_batch``.
+    """
+    return max(1, min(max_batch, int(target_sec / max(first_wall_sec, 1e-3))))
+
+
 def checkpoint_static(df: DataFrame, eager: bool = True) -> DataFrame:
     """localCheckpoint for LARGE static tables (the edge-sized inputs every
     superstep re-scans). Stored as serialized MEMORY_AND_DISK blocks
@@ -136,9 +162,18 @@ class SuperstepRunner:
     # K supersteps — the dominant cost on small graphs where a superstep's
     # actual compute is well under a second. Convergence is only observed
     # at batch boundaries (a converged monotone algorithm just no-ops the
-    # overshoot steps), and step functions that read ``runner.metrics``
-    # between supersteps (LP's workset crossover) need batch_size=1.
+    # overshoot steps). AUTO_BATCH (0) measures the first superstep and
+    # picks K via ``choose_batch_size``. Step functions that read
+    # ``runner.metrics`` between supersteps (LP's workset crossover) set
+    # ``batch_size_fn`` to force k=1 exactly when fresh counts matter —
+    # within a composed batch the metrics are frozen, so every chained
+    # step call sees the same decision the boundary saw.
     batch_size: int = 1
+    # consulted at each batch boundary; overrides batch_size when set (may
+    # itself return AUTO_BATCH to delegate to the auto chooser)
+    batch_size_fn: Optional[Callable[[], int]] = None
+    auto_batch_target_sec: float = AUTO_BATCH_TARGET_SEC
+    _auto_k: Optional[int] = None
     metrics: list = field(default_factory=list)
     converged: bool = False
     # identity of the run (algorithm name + parameters + input-data
@@ -163,7 +198,10 @@ class SuperstepRunner:
         i = start_iteration
         while i <= max_iterations:
             t0 = time.time()
-            k = max(1, min(self.batch_size, max_iterations - i + 1))
+            bs = self.batch_size_fn() if self.batch_size_fn else self.batch_size
+            if bs == AUTO_BATCH:
+                bs = self._auto_k or 1  # first batch runs k=1 to measure
+            k = max(1, min(bs, max_iterations - i + 1))
             # lazy localCheckpoint: the convergence agg below is the one
             # materializing action per batch — it computes the k chained
             # superstep states, caches the last, and truncates lineage in
@@ -183,7 +221,13 @@ class SuperstepRunner:
             else:
                 rows, changed = new_state.count(), None
             i_end = i + k - 1
-            m = SuperstepMetrics(i_end, rows, changed, time.time() - t0)
+            wall = time.time() - t0
+            if self._auto_k is None and (
+                self.batch_size == AUTO_BATCH
+                or (self.batch_size_fn and self.batch_size_fn() == AUTO_BATCH)
+            ):
+                self._auto_k = choose_batch_size(wall / k, self.auto_batch_target_sec)
+            m = SuperstepMetrics(i_end, rows, changed, wall)
             if self.collect_partition_metrics:
                 m.partition_rows = [
                     r["c"]

@@ -191,10 +191,13 @@ def test_multimodal_plumbing(tiny_docs):
     assert by_id[1] == by_id[2] != by_id[3]
 
 
-def test_multimodal_decode_stub_raises(tiny_docs):
+def test_multimodal_decode_unsupported_mime_raises(tiny_docs):
+    # r4: fake=False is a real path for PPM/WAV (test_round4); mimes with
+    # no in-sandbox codec (attach_media synthesizes image/x-fake) raise
+    # from inside the UDF when the plan materializes
     media = attach_media(tiny_docs.limit(1))
-    with pytest.raises(NotImplementedError):
-        extract_features(media, fake=False)
+    with pytest.raises(Exception, match="no in-sandbox codec"):
+        extract_features(media, fake=False).collect()
 
 
 def test_token_jaccard_prefix_equals_naive_stopword_corpus(spark):

@@ -55,6 +55,18 @@ def test_jaccard_no_cartesian(spark, jaccard_graph):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_gated_cosine_topk_is_blocked_no_cartesian(spark):
+    """The driver-gated cosine_topk row runs the blocked grid cogroup
+    (VERDICT r3 #1) — the quadratic 'sql' flavor is test/oracle-only."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["cosine_topk"](spark, "/root/testdata/sf0.001")
+    p = plan_of(q)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapCoGroupsInPandas" in p
+
+
 def test_corpus_extraction_prunes_content_after_sha(spark):
     """content feeds sha2 inside the scan stage and is dropped from the
     shuffle: no Exchange should carry the content column."""

@@ -267,7 +267,7 @@ def main():
             prior = {}
     if "runs" in prior or "levels" in prior:
         prior = {"prior": prior}
-    key = "round3" if (lo, hi) == (8, 32) else f"round3_{lo}_to_{hi}"
+    key = os.environ.get("SCALING_REPORT_KEY", f"round4_{lo}_to_{hi}")
     prior[key] = report
     out_path.write_text(json.dumps(prior, indent=2))
     print(json.dumps(report))
