@@ -104,7 +104,15 @@ def checkpoint_static(df: DataFrame, eager: bool = True) -> DataFrame:
     are ~3-5x smaller (UnsafeRow bytes), spill cleanly, and cost one
     cheap bulk deserialization per scan. Vertex-sized state keeps the
     deserialized default (fits in memory; fastest to re-scan).
-    GPS_STATIC_STORAGE=deser restores the old behavior for comparison."""
+
+    Measured crossover (r4, 37M-edge routing table, 32g heap, 8 cores):
+    the per-scan bulk deserialization costs ~1.4-1.6x per superstep
+    (min 28.3 s/superstep serialized vs 17.3-23.1 deserialized) when the
+    deserialized blocks would have fit in memory anyway. 'ser' stays the
+    default because the target regime is the one where they don't (at
+    10^11 edges nothing fits deserialized, and the overflow pathology is
+    20+ CPU-min/task vs a bounded 1.6x here); operators in the mid
+    regime set GPS_STATIC_STORAGE=deser."""
     if os.environ.get("GPS_STATIC_STORAGE", "ser") == "deser":
         return df.localCheckpoint(eager=eager)
     from pyspark import StorageLevel
