@@ -45,6 +45,7 @@ from ..superstep import (
     checkpoint_static,
     data_fingerprint,
     fits_broadcast_budget,
+    maybe_promote_static,
 )
 
 ACTIVE = "_active"
@@ -124,6 +125,11 @@ def connected_components(
     else:
         # repartition(src): reused by every superstep's scatter join
         e = checkpoint_static(sg.edges.select("src", "dst_tag").repartition(F.col("src")))
+    if prepared is None:
+        # mid-regime storage promotion (one cheap count over the cached
+        # blocks; see maybe_promote_static) — the scatter side is scanned
+        # every superstep
+        e = maybe_promote_static(e, e.count(), spark)
 
     def step(state: DataFrame, i: int):
         act = state.filter(F.col(ACTIVE)).select("tag", "component")

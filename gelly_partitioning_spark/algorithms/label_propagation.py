@@ -55,6 +55,7 @@ from ..superstep import (
     checkpoint_static,
     data_fingerprint,
     fits_broadcast_budget,
+    maybe_promote_static,
 )
 
 
@@ -146,9 +147,12 @@ def label_propagation(
         # repartition(src): reused by every superstep's scatter join
         e = checkpoint_static(sg.edges.select("src", "dst_tag", "w").repartition(F.col("src")))
 
-    # 2|E_sub| rows — drives the delta-path affected-set budget guard
-    e_rows = e.count() if workset else 0
+    # 2|E_sub| rows — drives the delta-path affected-set budget guard AND
+    # the mid-regime storage promotion of the per-superstep scan side
+    e_rows = e.count()
     avg_deg = max(1.0, e_rows / max(n, 1))
+    if prepared is None:
+        e = maybe_promote_static(e, e_rows, spark)
 
     def _messages(state: DataFrame, frontier: DataFrame | None) -> DataFrame:
         """(tag, label, ms) gather messages. ``frontier=None`` → full

@@ -215,6 +215,46 @@ def test_pagerank_auto_batch_matches_unbatched(spark, hub_graph):
     assert r._auto_k is not None and r._auto_k >= 1
 
 
+# -- mid-regime storage promotion of static checkpoints ------------------------
+
+
+def test_deserialized_cache_fits_boundary():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gelly_partitioning_spark.superstep import (
+        deserialized_cache_fits,
+        estimate_row_bytes,
+    )
+
+    sch = StructType([StructField("src", LongType()), StructField("dst_tag", LongType())])
+    width = estimate_row_bytes(sch)
+    budget_rows = int(0.25 * (1 << 30) / (width * 3))
+    assert deserialized_cache_fits(budget_rows, sch, None, heap_bytes=1 << 30)
+    assert not deserialized_cache_fits(budget_rows + 1, sch, None, heap_bytes=1 << 30)
+
+
+def test_maybe_promote_static(spark):
+    import os
+
+    from gelly_partitioning_spark.superstep import (
+        checkpoint_static,
+        maybe_promote_static,
+    )
+
+    df = spark.range(1000).selectExpr("id as src", "id as dst_tag")
+    ck = checkpoint_static(df)
+    small = maybe_promote_static(ck, 1000, spark)
+    assert small is not ck  # promoted to the deserialized layout
+    assert small.count() == 1000
+    ck2 = checkpoint_static(df)
+    assert maybe_promote_static(ck2, 10**12, spark) is ck2  # too big: stays
+    os.environ["GPS_STATIC_STORAGE"] = "ser"
+    try:
+        assert maybe_promote_static(ck2, 10, spark) is ck2  # pinned: stays
+    finally:
+        del os.environ["GPS_STATIC_STORAGE"]
+
+
 # -- IVF centroid-routed ANN tier (VERDICT r3 #4) ------------------------------
 
 
