@@ -226,6 +226,49 @@ def _q_pagerank_prepared(spark, sf_dir):
     return pr.select("id", _dec6(F.col("rank")).alias("rank"))
 
 
+def _q_cc_prepared(spark, sf_dir):
+    # CC over the persisted bucketed restart layout (VERDICT r4 #5): a
+    # STRING layout (use_long_ids=False) because the component id is the
+    # minimum ORIGINAL id — min over xxhash64 longs would elect a
+    # different representative. Components are invariant under the
+    # layout, so the oracle is the same recursive CTE.
+    from gelly_partitioning_spark.sources.graph_store import save_prepared_graph
+
+    prep = save_prepared_graph(
+        ps_edges(spark, sf_dir),
+        name="gate_prepared_cc",
+        base_path="/tmp/gps_gate_prepared_cc",
+        threshold=64,
+        alpha=2,
+        level=6,
+        buckets=32,
+        use_long_ids=False,
+    )
+    return connected_components(None, prepared=prep, max_iterations=60)
+
+
+def _q_community_prepared(spark, sf_dir):
+    # LP over the persisted bucketed restart layout (VERDICT r4 #5):
+    # string layout for the same reason — initial labels derive from the
+    # original (numeric-string) ids. Labels are invariant under the
+    # layout, so the oracle is the same unrolled LP SQL.
+    from gelly_partitioning_spark import label_propagation
+    from gelly_partitioning_spark.sources.graph_store import save_prepared_graph
+
+    prep = save_prepared_graph(
+        lp_edges(spark, sf_dir),
+        name="gate_prepared_lp",
+        base_path="/tmp/gps_gate_prepared_lp",
+        threshold=64,
+        alpha=2,
+        level=6,
+        buckets=32,
+        use_long_ids=False,
+    )
+    lp = label_propagation(None, delta=0.5, max_iterations=5, prepared=prep)
+    return lp.select("id", F.col("label").cast("long").alias("label"))
+
+
 def _q_skew_census(spark, sf_dir):
     return skew_census(ps_edges(spark, sf_dir), threshold=100)
 
@@ -393,6 +436,29 @@ def _q_ivf_topk(spark, sf_dir):
     return t.select("id", "neighbor", _dec6(F.col("cos")).alias("cos"), "rk")
 
 
+def _q_ivf_prepared(spark, sf_dir):
+    # the similarity-tier restart path (VERDICT r4 #2): quantize once,
+    # persist the assignment cell-bucketed (save_prepared_index — the
+    # PreparedGraph analog), then probe through the handle: the corpus
+    # side of the probe join is a bucketed scan (zero Exchange,
+    # plan-asserted in test_round5.py) with the probed-cell set pushed
+    # down. Results are bit-identical to the recompute path, so the
+    # oracle is the same IVF SQL.
+    from gelly_partitioning_spark.functions import ivf_topk
+    from gelly_partitioning_spark.sources.ann_store import save_prepared_index
+
+    emb = _embeddings(spark, sf_dir)
+    prep = save_prepared_index(
+        emb,
+        name="gate_prepared_ivf",
+        base_path="/tmp/gps_gate_prepared_ivf",
+        n_centroids=16,
+        buckets=16,
+    )
+    t = ivf_topk(emb, k=3, nprobe=4, prepared=prep)
+    return t.select("id", "neighbor", _dec6(F.col("cos")).alias("cos"), "rk")
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from gelly_partitioning_spark.functions import ngram_jaccard_pairs
 
@@ -431,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_cc,
         "pagerank": _q_pagerank,
         "pagerank_prepared": _q_pagerank_prepared,
+        "cc_prepared": _q_cc_prepared,
+        "community_prepared": _q_community_prepared,
         "skew_census": _q_skew_census,
         "triangle_count": _q_triangle,
         "jaccard": _q_jaccard,
@@ -445,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_blocked": _q_cosine_topk_blocked,
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_prepared": _q_ivf_prepared,
         "windowed_event_counts": _q_windowed_events,
         "sessionize": _q_sessionize,
         "community_detection": _q_community,
@@ -557,8 +626,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT id, MIN(comp) AS component FROM cc GROUP BY id"
     )
     sql["pagerank"] = _pagerank_sql(10, 0.85)
-    # the prepared/bucketed restart path changes routing, never semantics
+    # the prepared/bucketed restart paths change routing, never semantics
     sql["pagerank_prepared"] = _pagerank_sql(10, 0.85)
+    sql["cc_prepared"] = sql["connected_components"]
+    sql["community_prepared"] = _community_sql(5, 0.5)
     sql["skew_census"] = (
         f"WITH {_UND_SQL}, "
         "deg AS (SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src) "
@@ -750,6 +821,9 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY id ORDER BY cos DESC, neighbor ASC) AS rk FROM pairs) "
         "SELECT id, neighbor, cos, rk FROM rk WHERE rk <= 3"
     )
+    # the prepared (cell-bucketed) index changes the physical layout of
+    # the probe join, never the candidate set or scores
+    sql["ivf_topk_prepared"] = sql["ivf_topk"]
     sql["ngram_jaccard_near_dup"] = (
         f"WITH sh AS (SELECT doc_id AS id, unnest({shingle}) AS tok FROM documents), "
         "sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id), "

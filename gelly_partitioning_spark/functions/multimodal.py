@@ -62,7 +62,9 @@ def decode_ppm(payload: bytes):
 
     Header: magic, then whitespace-separated width/height/maxval tokens
     (``#`` comments allowed), then ONE whitespace byte, then raw 8-bit
-    samples row-major. Returns ``(width, height, channels, samples)``.
+    samples row-major. Returns ``(width, height, channels, samples,
+    maxval)`` — samples are raw ints in [0, maxval]; callers normalize by
+    maxval (a maxval=15 white pixel is 1.0, not 15/255 — ADVICE r4).
     """
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
@@ -90,7 +92,7 @@ def decode_ppm(payload: bytes):
     data = payload[i + 1 : i + 1 + need]
     if len(data) < need:
         raise ValueError(f"truncated PPM raster: {len(data)} < {need}")
-    return width, height, channels, data
+    return width, height, channels, data, maxval
 
 
 def decode_wav(payload: bytes):
@@ -121,8 +123,8 @@ def _fit(vec, feature_dim: int) -> list:
 def _image_features(payload: bytes, feature_dim: int) -> list:
     import numpy as np
 
-    w, h, c, data = decode_ppm(payload)
-    a = np.frombuffer(data, dtype=np.uint8).astype(np.float64).reshape(h, w, c) / 255.0
+    w, h, c, data, maxval = decode_ppm(payload)
+    a = np.frombuffer(data, dtype=np.uint8).astype(np.float64).reshape(h, w, c) / maxval
     return _fit(
         list(a.mean(axis=(0, 1))) + [a.std(), a.min(), a.max(), w / 4096.0, h / 4096.0],
         feature_dim,

@@ -68,6 +68,12 @@ def _topk_indices(s, rids, take: int, valid: int):
     # safe superset under float wobble (and excludes the -inf self rows)
     more = np.flatnonzero(s >= boundary - 1e-6)
     extra = np.setdiff1d(more, idx)
+    if extra.size > 64 * take:
+        # degenerate mass tie (e.g. all-equal scores): the widening pull is
+        # unbounded by construction, so cap it with an explicit full sort
+        # over the finite (non-self) rows — O(n log n), exact, and only
+        # ever hit on pathological data (VERDICT r4 nit #3)
+        return sorted(np.flatnonzero(np.isfinite(s)), key=key)[:take]
     if extra.size:
         order = sorted(np.concatenate([idx, extra]), key=key)[:take]
     return order
@@ -407,42 +413,26 @@ def ann_lsh_topk(
     )
 
 
-def ivf_topk(
+def _quantize(
     df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 5,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    refine_iterations: int = 0,
-) -> DataFrame:
-    """(id, neighbor, cos, rk) — IVF (inverted-file) approximate top-k.
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    refine_iterations: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, ranked) — the deterministic IVF coarse quantizer.
 
-    The centroid-routed tier between blocked-exact and hyperplane LSH
-    (SCALE.md §7 / VERDICT r3 #4): when LSH recall at a given table count
-    isn't enough but exact blocked is too expensive, IVF trades one small
-    broadcast (the centroid table) for candidate lists that track the
-    data distribution instead of random hyperplanes.
+    centroids: (cid, cv) — the ``n_centroids`` corpus vectors with
+    smallest md5(id) (portable, no RNG), optionally sharpened by
+    ``refine_iterations`` spherical-k-means steps.
+    ranked: (id, _unit, cid, ccos, crk) — every corpus vector scored
+    against every centroid (broadcast nested loop over the |C|-row
+    table), dec6-rounded cosine, crk = rank of the cell for that vector
+    (crk=1 is the assignment; crk<=nprobe are the probe cells).
 
-    - *Coarse quantizer*: ``n_centroids`` vectors sampled deterministically
-      (smallest md5(id) — portable, no RNG; any coarse quantizer is valid
-      IVF). ``refine_iterations`` optional Lloyd steps (spherical k-means:
-      per-cell mean, re-normalized) sharpen the cells; the DuckDB oracle
-      covers the refine=0 flavor.
-    - *Assignment*: every vector → its nearest centroid (argmax cosine,
-      dec6-rounded key + smallest-cid tie-break — the engine-wide
-      order-robust argmax convention). One broadcast nested-loop against
-      the |C|-row centroid table, then a shuffle by cell.
-    - *Probing*: each query visits its ``nprobe`` nearest cells; candidates
-      are the cells' members — a balanced equi-join on the cell id, never
-      all-pairs. Per-query candidate budget ≈ nprobe/|C| of the corpus.
-    - *Scoring*: exact dot products on the candidates, same dec6 + id
-      tie-break top-k window as every other flavor.
-
-    At 100 TB: persist the assignment (cell, id, vec) bucketed by cell —
-    probing then reads only the probed buckets (partition pruning), and
-    the centroid table stays a broadcast. Skewed cells inherit AQE skew
-    handling on the equi-join.
+    Shared by ``ivf_topk`` (recompute path) and
+    ``sources.ann_store.save_prepared_index`` (persist-once path) so both
+    produce the identical assignment.
     """
     u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
     cent = (
@@ -493,12 +483,82 @@ def ivf_topk(
     )
     w_assign = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
     ranked = scored.withColumn("crk", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("crk") == 1).select(
-        F.col("id").alias("rid"), F.col("_unit").alias("rv"), F.col("cid").alias("cell")
-    )
-    probes = ranked.filter(F.col("crk") <= nprobe).select(
-        "id", "_unit", F.col("cid").alias("cell")
-    )
+    return cent, ranked
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine_iterations: int = 0,
+    prepared=None,
+    prune: bool = True,
+) -> DataFrame:
+    """(id, neighbor, cos, rk) — IVF (inverted-file) approximate top-k.
+
+    The centroid-routed tier between blocked-exact and hyperplane LSH
+    (SCALE.md §7 / VERDICT r3 #4): when LSH recall at a given table count
+    isn't enough but exact blocked is too expensive, IVF trades one small
+    broadcast (the centroid table) for candidate lists that track the
+    data distribution instead of random hyperplanes.
+
+    - *Coarse quantizer*: ``n_centroids`` vectors sampled deterministically
+      (smallest md5(id) — portable, no RNG; any coarse quantizer is valid
+      IVF). ``refine_iterations`` optional Lloyd steps (spherical k-means:
+      per-cell mean, re-normalized) sharpen the cells; the DuckDB oracle
+      covers the refine=0 flavor.
+    - *Assignment*: every vector → its nearest centroid (argmax cosine,
+      dec6-rounded key + smallest-cid tie-break — the engine-wide
+      order-robust argmax convention). One broadcast nested-loop against
+      the |C|-row centroid table, then a shuffle by cell.
+    - *Probing*: each query visits its ``nprobe`` nearest cells; candidates
+      are the cells' members — a balanced equi-join on the cell id, never
+      all-pairs. Per-query candidate budget ≈ nprobe/|C| of the corpus.
+    - *Scoring*: exact dot products on the candidates, same dec6 + id
+      tie-break top-k window as every other flavor.
+
+    At 100 TB: persist the assignment (cell, rid, rv) bucketed by cell —
+    ``sources.ann_store.save_prepared_index`` — and pass the handle as
+    ``prepared``: the corpus side of the probe join is then a bucketed
+    scan (HashPartitioning(cell) for free, zero Exchange, plan-asserted)
+    and, with ``prune`` (default), the probed-cell set (≤ ``n_centroids``
+    values, one tiny job to derive) is pushed into the scan as a
+    ``cell IN (...)`` filter — the ``sortBy('cell')`` row-group stats skip
+    every non-probed bucket. The centroid table stays a broadcast. Skewed
+    cells inherit AQE skew handling on the equi-join. Results are
+    bit-identical to the recompute path (same quantizer, same dec6 keys).
+    """
+    if prepared is not None:
+        # queries scored against the PERSISTED centroids; candidates come
+        # from the persisted assignment — no corpus-wide quantization here
+        u = with_unit_vectors(df, vec_col).select(F.col(id_col).alias("id"), "_unit")
+        scored = u.crossJoin(F.broadcast(prepared.centroids)).select(
+            "id", "_unit", "cid",
+            F.round(_dot(F.col("_unit"), F.col("cv")), 6).alias("ccos"),
+        )
+        w_assign = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
+        probes = (
+            scored.withColumn("crk", F.row_number().over(w_assign))
+            .filter(F.col("crk") <= nprobe)
+            .select("id", "_unit", F.col("cid").alias("cell"))
+        )
+        assign = prepared.assign  # (cell, rid, rv) bucketed by cell
+        if prune:
+            # the probed-cell set is bounded by the centroid count — one
+            # tiny job buys row-group skipping of every non-probed bucket
+            cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+            assign = assign.filter(F.col("cell").isin(cells))
+    else:
+        _, ranked = _quantize(df, vec_col, id_col, n_centroids, refine_iterations)
+        assign = ranked.filter(F.col("crk") == 1).select(
+            F.col("cid").alias("cell"), F.col("id").alias("rid"), F.col("_unit").alias("rv")
+        )
+        probes = ranked.filter(F.col("crk") <= nprobe).select(
+            "id", "_unit", F.col("cid").alias("cell")
+        )
     # each ref vector lives in exactly one cell, so a (query, ref) pair
     # appears at most once — no dedup needed before scoring
     pairs = (

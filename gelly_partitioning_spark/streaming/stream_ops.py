@@ -75,7 +75,11 @@ def windowed_event_counts(
     )
 
 
-def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark_minutes: int | None = None,
+) -> DataFrame:
     """Streaming gap-sessionization with explicit state (append mode).
 
     Per user the state store holds ONE open session (start, end, n) —
@@ -94,6 +98,21 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         retro-merge — inherent to unwatermarked streaming; such rows
         surface as an extra session rather than disappearing.
 
+    ``watermark_minutes`` bounds lateness explicitly (VERDICT r4 #6):
+    a row older than ``watermark_minutes`` behind the user's maximum
+    PREVIOUSLY-SEEN event time (the open session's ``end`` — monotone
+    nondecreasing across batches by construction) is DROPPED, never
+    sessionized. Dropped-row semantics: such a row's true batch-session
+    may already have been emitted closed, so emitting it as a fresh
+    session would diverge from the batch flavor anyway; with the
+    watermark the divergence window is bounded — the stream output
+    equals the batch flavor run on the watermark-filtered input (tested).
+    Rows within the same micro-batch are never late relative to each
+    other (the per-batch fold sorts first), matching Spark's own
+    watermark convention of advancing on batch boundaries. ``None``
+    (default) keeps the unbounded-lateness behavior: very-late rows emit
+    their own session rather than disappearing.
+
     The final open session per user stays in state until a later event
     closes it — standard append-mode streaming semantics. Cross-checked
     against the batch ``sessionize`` oracle in tests (late rows included).
@@ -103,6 +122,9 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_ns = int(gap_minutes) * 60 * 1_000_000_000
+    wm_ns = (
+        None if watermark_minutes is None else int(watermark_minutes) * 60 * 1_000_000_000
+    )
     uid_type = dict(events.dtypes)["user_id"]
     out_schema = (
         f"user_id {uid_type}, session_start timestamp, "
@@ -130,6 +152,11 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
             ts_all.extend(v.value for v in ts)
         ts_all.sort()
+        if wm_ns is not None and end is not None:
+            # lateness bound: `end` is this user's max event time across
+            # all PRIOR batches (monotone by construction); rows more than
+            # the watermark behind it are dropped, never sessionized
+            ts_all = [t for t in ts_all if t >= end - wm_ns]
         # chain of VERY late rows (older than the open session by more
         # than the gap): they form their own earlier session(s) instead of
         # being absorbed via start=min (ADVICE r3). Sorted order means one

@@ -74,6 +74,12 @@ def fits_broadcast_budget(
 AUTO_BATCH = 0
 AUTO_BATCH_TARGET_SEC = 3.0
 AUTO_BATCH_MAX = 16
+# K is re-estimated (a) whenever the observed per-superstep wall drifts
+# >2x either way from the wall that chose the current K, and (b)
+# unconditionally every this-many batches: the first batch carries
+# JVM/codegen/first-scan warm-up, so a once-only estimate systematically
+# under-sizes K for a 100-superstep run (VERDICT r4 nit #1)
+AUTO_BATCH_REESTIMATE_EVERY = 8
 
 
 def choose_batch_size(
@@ -177,9 +183,11 @@ def maybe_promote_static(df: DataFrame, n_rows: int, spark: SparkSession) -> Dat
     out = df.localCheckpoint(eager=True)  # deserialized default level
     try:
         # free the serialized blocks: a localCheckpointed Dataset is not
-        # in the CacheManager (unpersist() is a no-op) — release the
-        # underlying checkpoint RDD directly
-        df._jdf.queryExecution().toRdd().unpersist(False)
+        # in the CacheManager (unpersist() is a no-op) and toRdd() builds a
+        # DERIVED (non-persisted) RDD — unpersisting it releases nothing
+        # (ADVICE r4, verified live). The persisted RDD is the one held by
+        # the LogicalRDD plan node itself; release that.
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass  # best-effort; worst case both copies age out via LRU
     return out
@@ -247,6 +255,9 @@ class SuperstepRunner:
     batch_size_fn: Optional[Callable[[], int]] = None
     auto_batch_target_sec: float = AUTO_BATCH_TARGET_SEC
     _auto_k: Optional[int] = None
+    # wall/superstep that chose the current _auto_k + batches since then
+    _auto_est_wall: Optional[float] = None
+    _auto_batches_since: int = 0
     metrics: list = field(default_factory=list)
     converged: bool = False
     # identity of the run (algorithm name + parameters + input-data
@@ -271,9 +282,9 @@ class SuperstepRunner:
         i = start_iteration
         while i <= max_iterations:
             t0 = time.time()
-            bs = self.batch_size_fn() if self.batch_size_fn else self.batch_size
-            if bs == AUTO_BATCH:
-                bs = self._auto_k or 1  # first batch runs k=1 to measure
+            requested = self.batch_size_fn() if self.batch_size_fn else self.batch_size
+            auto = requested == AUTO_BATCH
+            bs = (self._auto_k or 1) if auto else requested  # first auto batch: k=1
             k = max(1, min(bs, max_iterations - i + 1))
             # lazy localCheckpoint: the convergence agg below is the one
             # materializing action per batch — it computes the k chained
@@ -295,11 +306,8 @@ class SuperstepRunner:
                 rows, changed = new_state.count(), None
             i_end = i + k - 1
             wall = time.time() - t0
-            if self._auto_k is None and (
-                self.batch_size == AUTO_BATCH
-                or (self.batch_size_fn and self.batch_size_fn() == AUTO_BATCH)
-            ):
-                self._auto_k = choose_batch_size(wall / k, self.auto_batch_target_sec)
+            if auto:
+                self.observe_batch_wall(wall / k)
             m = SuperstepMetrics(i_end, rows, changed, wall)
             if self.collect_partition_metrics:
                 m.partition_rows = [
@@ -320,6 +328,32 @@ class SuperstepRunner:
                 break
             i = i_end + 1
         return state
+
+    def observe_batch_wall(self, per_superstep_sec: float) -> None:
+        """Feed one batch's measured per-superstep wall into the auto-K
+        estimator.
+
+        The first observation seeds K (the first batch always runs k=1 to
+        measure). After that K is recomputed when the observed wall drifts
+        >2x either way from the wall that chose the current K, and
+        unconditionally every ``AUTO_BATCH_REESTIMATE_EVERY`` batches —
+        so neither first-batch warm-up nor a mid-run machine-window change
+        pins a stale K for the rest of a long run (VERDICT r4 nit #1).
+        Pure driver-side arithmetic; results are unaffected (K only sets
+        how many supersteps one action amortizes).
+        """
+        self._auto_batches_since += 1
+        drifted = self._auto_est_wall is not None and not (
+            0.5 * self._auto_est_wall <= per_superstep_sec <= 2.0 * self._auto_est_wall
+        )
+        if (
+            self._auto_k is None
+            or drifted
+            or self._auto_batches_since >= AUTO_BATCH_REESTIMATE_EVERY
+        ):
+            self._auto_k = choose_batch_size(per_superstep_sec, self.auto_batch_target_sec)
+            self._auto_est_wall = per_superstep_sec
+            self._auto_batches_since = 0
 
     # -- checkpoint / resume ------------------------------------------------
 

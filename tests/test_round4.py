@@ -242,10 +242,21 @@ def test_maybe_promote_static(spark):
     )
 
     df = spark.range(1000).selectExpr("id as src", "id as dst_tag")
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+    pre = persisted_ids()
     ck = checkpoint_static(df)
+    ck_ids = persisted_ids() - pre  # the serialized checkpoint RDD(s)
+    assert ck_ids
     small = maybe_promote_static(ck, 1000, spark)
     assert small is not ck  # promoted to the deserialized layout
     assert small.count() == 1000
+    # the SERIALIZED checkpoint blocks must actually be released (ADVICE
+    # r4: unpersisting queryExecution().toRdd() was a no-op — it builds a
+    # derived RDD; the persisted one lives on the LogicalRDD plan node)
+    assert not (ck_ids & persisted_ids()), "old serialized checkpoint RDD leaked"
     ck2 = checkpoint_static(df)
     assert maybe_promote_static(ck2, 10**12, spark) is ck2  # too big: stays
     os.environ["GPS_STATIC_STORAGE"] = "ser"
@@ -311,12 +322,28 @@ def test_decode_ppm_roundtrip():
     from gelly_partitioning_spark.functions.multimodal import decode_ppm
 
     pixels = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
-    w, h, c, data = decode_ppm(_encode_ppm(2, 2, pixels))
-    assert (w, h, c) == (2, 2, 3)
+    w, h, c, data, maxval = decode_ppm(_encode_ppm(2, 2, pixels))
+    assert (w, h, c, maxval) == (2, 2, 3, 255)
     assert data == pixels
     gray = bytes([0, 128, 255, 64])
-    w, h, c, data = decode_ppm(b"P5\n2 2\n255\n" + gray)
-    assert (w, h, c, data) == (2, 2, 1, gray)
+    w, h, c, data, maxval = decode_ppm(b"P5\n2 2\n255\n" + gray)
+    assert (w, h, c, data, maxval) == (2, 2, 1, gray, 255)
+
+
+def test_ppm_small_maxval_normalization():
+    # ADVICE r4: a maxval=15 white pixel must read as 1.0, not 15/255
+    from gelly_partitioning_spark.functions.multimodal import (
+        _image_features,
+        decode_ppm,
+    )
+
+    gray = bytes([15, 0, 15, 0])
+    payload = b"P5\n2 2\n15\n" + gray
+    w, h, c, data, maxval = decode_ppm(payload)
+    assert maxval == 15
+    feats = _image_features(payload, feature_dim=8)
+    assert abs(feats[0] - 0.5) < 1e-12  # mean of [1,0,1,0]
+    assert abs(feats[3] - 1.0) < 1e-12  # max sample = white = 1.0
 
 
 def test_decode_wav_roundtrip():

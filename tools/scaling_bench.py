@@ -63,6 +63,28 @@ def read_cpu_stat() -> tuple[int, int]:
     return sum(vals), (vals[7] if len(vals) > 7 else 0)
 
 
+# Window-state detector (VERDICT r4 #1): the r4 degraded windows slow CPU
+# work ~1.5x while staying INVISIBLE to the /proc/stat steal counter, so
+# steal alone cannot certify a leg. A fixed single-core busy-loop probe
+# runs before and after every leg; its wall time is a direct read of the
+# machine's effective CPU speed in that window. The session minimum is the
+# clean-machine reference (degradation is one-sided — it only slows), and
+# a leg whose WORST surrounding probe exceeds the reference by
+# --max-probe-dev (default 20%) is flagged window-degraded.
+PROBE_ITERS = 25_000_000
+
+
+def probe_machine(iters: int = PROBE_ITERS) -> float:
+    """Seconds for a fixed deterministic single-core integer workload
+    (~4-6 s on a quiet machine — long enough to average over scheduler
+    jitter, short next to a multi-minute leg)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(iters):
+        x = (x * 1103515245 + i) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
 def materialize_edges(n_files: int) -> str:
     """Synthesize + extract ONCE at full parallelism; every leg reads the
     same parquet (identical input is the point of the comparison)."""
@@ -165,6 +187,7 @@ def main():
     args = [a for a in sys.argv[1:]]
     reps = 3
     max_steal = 0.05
+    max_probe_dev = 0.20
     if "--reps" in args:
         i = args.index("--reps")
         reps = int(args[i + 1])
@@ -172,6 +195,10 @@ def main():
     if "--max-steal" in args:
         i = args.index("--max-steal")
         max_steal = float(args[i + 1])
+        del args[i:i + 2]
+    if "--max-probe-dev" in args:
+        i = args.index("--max-probe-dev")
+        max_probe_dev = float(args[i + 1])
         del args[i:i + 2]
     sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
@@ -191,15 +218,19 @@ def main():
     # Interleaved A/B/A/B/A/B: each rep runs BOTH levels back-to-back, so
     # a contention window spans both rather than biasing one.
     runs: list[dict] = []
+    probe_prev = probe_machine()  # pre-session reading doubles as leg 0's "before"
     for rep in range(reps):
         for cores in levels:
             t_tot0, t_st0 = read_cpu_stat()
+            probe_before = probe_prev
             env = dict(os.environ, SPARK_DRIVER_MEMORY=_heap(cores))
             out = subprocess.run(
                 [sys.executable, __file__, "--level", str(cores), sf_dir, str(n_files)],
                 capture_output=True, text=True, env=env,
             )
             t_tot1, t_st1 = read_cpu_stat()
+            probe_after = probe_machine()
+            probe_prev = probe_after  # next leg's "before" (back-to-back legs)
             if out.returncode != 0:
                 sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-8000:] + "\n")
                 raise SystemExit(f"rep {rep} level {cores} failed rc={out.returncode}")
@@ -208,6 +239,8 @@ def main():
             d_tot = max(1, t_tot1 - t_tot0)
             rec["rep"] = rep
             rec["steal_frac"] = round((t_st1 - t_st0) / d_tot, 4)
+            rec["probe_before_sec"] = round(probe_before, 3)
+            rec["probe_after_sec"] = round(probe_after, 3)
             rec["contaminated"] = rec["steal_frac"] > max_steal
             runs.append(rec)
             # incremental dump: a killed/partial session still leaves every
@@ -217,20 +250,33 @@ def main():
             print(
                 f"rep{rep} local[{cores}]: min={rec['min_sec_per_superstep']}s "
                 f"steady={rec['steady_sec_per_superstep']}s "
-                f"steal={rec['steal_frac']:.1%}"
+                f"steal={rec['steal_frac']:.1%} "
+                f"probe={probe_before:.2f}/{probe_after:.2f}s"
                 f"{' CONTAMINATED' if rec['contaminated'] else ''}",
                 file=sys.stderr,
             )
 
+    # window-state verdict per leg: worst surrounding probe vs the session
+    # minimum (the cleanest observed machine state — degradation is
+    # one-sided, so the min IS the clean reference)
+    probe_ref = min(
+        min(r["probe_before_sec"], r["probe_after_sec"]) for r in runs
+    )
+    for r in runs:
+        worst = max(r["probe_before_sec"], r["probe_after_sec"])
+        r["probe_dev"] = round(worst / probe_ref - 1.0, 4)
+        r["window_degraded"] = r["probe_dev"] > max_probe_dev
+        # a degraded or stolen leg is excluded from the headline the same
+        # way (direction-aware in best() below)
+        r["contaminated"] = bool(r["contaminated"] or r["window_degraded"])
+
     def best(cores: int, key: str) -> float:
-        """Per-level min. Contamination is directional: steal only SLOWS a
-        leg, so a contaminated 4N leg's min is an upper bound on its clean
-        time — including it UNDER-states efficiency (safe, conservative).
-        A contaminated N leg would OVER-state efficiency, so N legs must
-        be clean (falls back to all if no clean N leg exists, flagged by
-        clean_legs in the report)."""
-        if cores == levels[-1]:
-            return min(r[key] for r in runs if r["cores"] == cores)
+        """Per-level min over PROBE-CLEAN, steal-clean legs (falls back to
+        all legs if none are clean at a level — flagged by clean_legs in
+        the report). Interference is one-sided (it only slows), so the min
+        over clean legs is the clean-machine estimate at both levels; the
+        probe detector (VERDICT r4 #1) is what certifies 'clean' now that
+        degraded windows are invisible to the steal counter."""
         clean = [r[key] for r in runs if r["cores"] == cores and not r["contaminated"]]
         pool = clean or [r[key] for r in runs if r["cores"] == cores]
         return min(pool)
@@ -242,9 +288,12 @@ def main():
     report = {
         "protocol": (
             f"interleaved A/B x{reps} reps, per-level min over clean legs "
-            f"(steal <= {max_steal:.0%}), salted path, pinned local.dir, "
+            f"(steal <= {max_steal:.0%}, probe dev <= {max_probe_dev:.0%} "
+            "of session-min busy-loop probe before+after each leg), "
+            "salted path, pinned local.dir, "
             "heap " + os.environ.get("SCALING_HEAP_PER_CORE_G", "1.5") + "g/core"
         ),
+        "probe_ref_sec": probe_ref,
         "levels": list(levels),
         "sf_dir": sf_dir if n_files == 0 else f"corpus:{n_files}",
         "runs": runs,
@@ -267,7 +316,7 @@ def main():
             prior = {}
     if "runs" in prior or "levels" in prior:
         prior = {"prior": prior}
-    key = os.environ.get("SCALING_REPORT_KEY", f"round4_{lo}_to_{hi}")
+    key = os.environ.get("SCALING_REPORT_KEY", f"round5_{lo}_to_{hi}")
     prior[key] = report
     out_path.write_text(json.dumps(prior, indent=2))
     print(json.dumps(report))
