@@ -207,11 +207,15 @@ def test_ivf_prepared_probe_join_no_corpus_exchange(spark, tmp_path):
     )
     p = plan_of(j)
     assert "Bucketed: true" in p
+    # the probed-cell pushdown prunes whole BUCKETS off the scan
+    assert "SelectedBucketsCount: 2 out of" in p, p
     # exactly ONE exchange — the query-sized probe side shuffling to the
-    # bucket count; the corpus-sized assignment scan exchanges nothing
-    n_exchanges = sum(
-        1 for line in p.splitlines() if line.strip().split(" ", 2)[1:2] == ["Exchange"]
-    )
+    # bucket count; the corpus-sized assignment scan exchanges nothing.
+    # Count the detail-section headers ("(6) Exchange"), not the tree
+    # rows, so each node is counted once.
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
     assert n_exchanges == 1, p
     # the probed-cell restriction is pushed into the parquet scan, where
     # the sortBy('cell') row-group stats make it skip non-probed buckets

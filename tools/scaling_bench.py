@@ -224,22 +224,35 @@ def main():
             t_tot0, t_st0 = read_cpu_stat()
             probe_before = probe_prev
             env = dict(os.environ, SPARK_DRIVER_MEMORY=_heap(cores))
-            out = subprocess.run(
+            # Popen + mid-leg probes (session-A lesson: endpoint probes
+            # missed windows that opened and closed INSIDE a leg). The
+            # legs use <= 8 of the 32 hardware threads, so a 4 s
+            # single-core probe every ~2 min reads the window state
+            # without perturbing the leg (and identically at both levels).
+            proc = subprocess.Popen(
                 [sys.executable, __file__, "--level", str(cores), sf_dir, str(n_files)],
-                capture_output=True, text=True, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
             )
+            probes_mid: list[float] = []
+            while proc.poll() is None:
+                try:
+                    proc.wait(timeout=120)
+                except subprocess.TimeoutExpired:
+                    probes_mid.append(round(probe_machine(), 3))
+            out_stdout, out_stderr = proc.communicate()
             t_tot1, t_st1 = read_cpu_stat()
             probe_after = probe_machine()
             probe_prev = probe_after  # next leg's "before" (back-to-back legs)
-            if out.returncode != 0:
-                sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-8000:] + "\n")
-                raise SystemExit(f"rep {rep} level {cores} failed rc={out.returncode}")
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            if proc.returncode != 0:
+                sys.stderr.write(out_stdout[-4000:] + "\n" + out_stderr[-8000:] + "\n")
+                raise SystemExit(f"rep {rep} level {cores} failed rc={proc.returncode}")
+            line = [l for l in out_stdout.strip().splitlines() if l.startswith("{")][-1]
             rec = json.loads(line)
             d_tot = max(1, t_tot1 - t_tot0)
             rec["rep"] = rep
             rec["steal_frac"] = round((t_st1 - t_st0) / d_tot, 4)
             rec["probe_before_sec"] = round(probe_before, 3)
+            rec["probe_mid_sec"] = probes_mid
             rec["probe_after_sec"] = round(probe_after, 3)
             rec["contaminated"] = rec["steal_frac"] > max_steal
             runs.append(rec)
@@ -251,7 +264,7 @@ def main():
                 f"rep{rep} local[{cores}]: min={rec['min_sec_per_superstep']}s "
                 f"steady={rec['steady_sec_per_superstep']}s "
                 f"steal={rec['steal_frac']:.1%} "
-                f"probe={probe_before:.2f}/{probe_after:.2f}s"
+                f"probe={probe_before:.2f}/mid{probes_mid}/{probe_after:.2f}s"
                 f"{' CONTAMINATED' if rec['contaminated'] else ''}",
                 file=sys.stderr,
             )
@@ -260,10 +273,11 @@ def main():
     # minimum (the cleanest observed machine state — degradation is
     # one-sided, so the min IS the clean reference)
     probe_ref = min(
-        min(r["probe_before_sec"], r["probe_after_sec"]) for r in runs
+        min([r["probe_before_sec"], r["probe_after_sec"]] + r.get("probe_mid_sec", []))
+        for r in runs
     )
     for r in runs:
-        worst = max(r["probe_before_sec"], r["probe_after_sec"])
+        worst = max([r["probe_before_sec"], r["probe_after_sec"]] + r.get("probe_mid_sec", []))
         r["probe_dev"] = round(worst / probe_ref - 1.0, 4)
         r["window_degraded"] = r["probe_dev"] > max_probe_dev
         # a degraded or stolen leg is excluded from the headline the same
@@ -289,7 +303,7 @@ def main():
         "protocol": (
             f"interleaved A/B x{reps} reps, per-level min over clean legs "
             f"(steal <= {max_steal:.0%}, probe dev <= {max_probe_dev:.0%} "
-            "of session-min busy-loop probe before+after each leg), "
+            "of session-min busy-loop probe before+during(2min)+after each leg), "
             "salted path, pinned local.dir, "
             "heap " + os.environ.get("SCALING_HEAP_PER_CORE_G", "1.5") + "g/core"
         ),
