@@ -182,6 +182,30 @@ def test_ivf_prepared_matches_recompute(spark, tmp_path):
     assert got2 == want
 
 
+def test_ivf_prepared_with_refine_matches_recompute(spark, tmp_path):
+    """The spherical-k-means-refined quantizer persists identically too
+    (refine_iterations is baked into the layout, like n_centroids)."""
+    from gelly_partitioning_spark.functions import ivf_topk
+    from gelly_partitioning_spark.sources.ann_store import save_prepared_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(60).cache()
+    want = {
+        (r["id"], r["neighbor"], r["rk"], r["cos"])
+        for r in ivf_topk(
+            emb, k=2, n_centroids=4, nprobe=2, refine_iterations=1
+        ).collect()
+    }
+    prep = save_prepared_index(
+        emb, name="t5_ivf_ref", base_path=str(tmp_path / "ivfr"), n_centroids=4,
+        refine_iterations=1, buckets=2,
+    )
+    got = {
+        (r["id"], r["neighbor"], r["rk"], r["cos"])
+        for r in ivf_topk(emb, k=2, nprobe=2, prepared=prep).collect()
+    }
+    assert got == want
+
+
 def test_ivf_prepared_probe_join_no_corpus_exchange(spark, tmp_path):
     """The index guarantee: the probe join consumes the cell-bucketed
     assignment scan directly — zero Exchange on the corpus side (the
