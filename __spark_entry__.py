@@ -102,19 +102,29 @@ PS_EDGES_SQL = (
 def cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence graph: parts appearing in the same order, canonical
     (src < dst), deduped — the repo-path co-occurrence shape of the
-    engine's native corpus, on driver data. SQL twin: COOC_EDGES_SQL."""
+    engine's native corpus, on driver data. SQL twin: COOC_EDGES_SQL.
+
+    Physically the pair join/distinct runs on the raw integer part keys
+    (8-byte shuffle keys) and the 'p…' strings are minted once per
+    DISTINCT pair afterward — the orientation filter compares the CAST
+    string forms, so ('p'||a < 'p'||b) ⟺ (cast(a) < cast(b)) and the
+    result set is token-identical to COOC_EDGES_SQL (concat with a fixed
+    prefix is injective and order-preserving over equal prefixes)."""
     li = _lineitem(spark, sf_dir).select(
-        "l_orderkey", F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p")
+        "l_orderkey", F.col("l_partkey").cast("long").alias("pk")
     )
-    a = li.select("l_orderkey", F.col("p").alias("src"))
-    b = li.select("l_orderkey", F.col("p").alias("dst"))
-    return (
+    a = li.select("l_orderkey", F.col("pk").alias("ka"))
+    b = li.select("l_orderkey", F.col("pk").alias("kb"))
+    pairs = (
         a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        .filter(F.col("ka").cast("string") < F.col("kb").cast("string"))
+        .select("ka", "kb")
         .distinct()
-        .withColumn("w", F.lit(1.0))
     )
+    return pairs.select(
+        F.concat(F.lit("p"), F.col("ka").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("kb").cast("string")).alias("dst"),
+    ).withColumn("w", F.lit(1.0))
 
 
 COOC_EDGES_SQL = (
@@ -274,7 +284,11 @@ def _q_skew_census(spark, sf_dir):
 
 
 def _q_triangle(spark, sf_dir):
-    return triangle_count(cooc_edges(spark, sf_dir))
+    # cooc_edges already emits the id-canonical (src < dst), distinct,
+    # self-loop-free simple edge set — assume_canonical skips the
+    # redundant second distinct shuffle inside triangle_count (identical
+    # count; the oracle is unchanged)
+    return triangle_count(cooc_edges(spark, sf_dir), assume_canonical=True)
 
 
 def _q_jaccard(spark, sf_dir):

@@ -36,16 +36,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..graph import normalize_edges
+from ..graph import normalize_edges, undirected
 from ..splitting import split_graph
 from ..superstep import (
     CHANGED,
     DEFAULT_BROADCAST_STATE_BUDGET,
     SuperstepRunner,
     checkpoint_static,
+    checkpoint_static_sized,
     data_fingerprint,
     fits_broadcast_budget,
-    maybe_promote_static,
+    static_scan_partitions,
 )
 
 ACTIVE = "_active"
@@ -62,10 +63,17 @@ def connected_components(
     numeric_ids: bool = False,
     broadcast_threshold_vertices: int | None = None,
     broadcast_state_budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET,
+    superstep_batch: int = 0,
     prepared=None,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
     """(id, component) at convergence (or max_iterations).
+
+    ``superstep_batch`` chains K supersteps per materializing action
+    (0 = AUTO; see pagerank's docstring — results identical, min-
+    propagation no-ops any overshoot supersteps past the fixpoint).
+    Applied only to the internally-created runner: a caller-supplied
+    runner keeps its own batch_size (per-superstep metrics intact).
 
     ``prepared`` (a ``sources.graph_store.PreparedGraph``) is the restart
     path: the persisted bucketed layout replaces split + the initial edge
@@ -75,6 +83,7 @@ def connected_components(
     would elect a different representative. Always uses the salted-shuffle
     scatter — the path the bucketed layout exists for.
     """
+    comp_t = "long" if numeric_ids else "string"
     if prepared is not None:
         if prepared.tag_dict is not None:
             raise ValueError(
@@ -86,68 +95,118 @@ def connected_components(
         spark = prepared.edges.sparkSession
         sub = prepared.sub_deg.select(F.col("src").alias("id"), "tag").cache()
         e = prepared.edges.select("src", "dst_tag").cache()
+        init = (
+            sub.select("tag")
+            .distinct()
+            .select(
+                "tag", F.col("tag").cast(comp_t).alias("component"), F.lit(True).alias(ACTIVE)
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = init.count()
+        use_broadcast = False  # the bucketed layout IS the salted-scatter path
     else:
         edges = normalize_edges(edges)
         spark = edges.sparkSession
-        sg = split_graph(
-            edges,
-            threshold=threshold if split else 2**62,
-            alpha=alpha,
-            level=level,
-            mode=mode,
+        und = checkpoint_static(undirected(edges), eager=False)
+        # one pass over the edge set: vertex table + degrees (for sizing
+        # and, on the salted path, the split fan-out) in one shot
+        deg_str = (
+            und.groupBy(F.col("src").alias("tag"))
+            .agg(F.count("*").cast("long").alias("degree"))
+            .localCheckpoint(eager=True)
         )
-        sub = sg.vertices.localCheckpoint(eager=True)  # static (id, tag)
-
-    comp_t = "long" if numeric_ids else "string"
-    init = (
-        sub.select("tag")
-        .distinct()
-        .select("tag", F.col("tag").cast(comp_t).alias("component"), F.lit(True).alias(ACTIVE))
-    )
-    init = init.localCheckpoint(eager=True)
-    n = init.count()
-
-    # broadcast-state scatter when the state fits a per-superstep broadcast
-    # BYTE budget (row counts are the wrong unit — see superstep.py); the
-    # workset shrinks what is actually broadcast each superstep further.
-    if prepared is not None:
-        use_broadcast = False
-    elif broadcast_threshold_vertices is not None:
-        use_broadcast = n <= broadcast_threshold_vertices
-    else:
-        use_broadcast = fits_broadcast_budget(
-            n, init.schema, broadcast_state_budget_bytes
+        row = deg_str.agg(F.count("*").alias("n"), F.sum("degree").alias("er")).first()
+        n, e_rows = int(row["n"]), int(row["er"] or 0)
+        init = deg_str.select(
+            "tag", F.col("tag").cast(comp_t).alias("component"), F.lit(True).alias(ACTIVE)
         )
-    if prepared is not None:
-        pass  # e already set: bucketed scan, no repartition needed
-    elif use_broadcast:
-        e = checkpoint_static(sg.edges.select("src_tag", "dst_tag"))
-    else:
-        # repartition(src): reused by every superstep's scatter join
-        e = checkpoint_static(sg.edges.select("src", "dst_tag").repartition(F.col("src")))
-    if prepared is None:
-        # mid-regime storage promotion (one cheap count over the cached
-        # blocks; see maybe_promote_static) — the scatter side is scanned
-        # every superstep
-        e = maybe_promote_static(e, e.count(), spark)
 
-    def step(state: DataFrame, i: int):
-        act = state.filter(F.col(ACTIVE)).select("tag", "component")
+        # broadcast-state scatter when the state fits a per-superstep
+        # broadcast BYTE budget (row counts are the wrong unit — see
+        # superstep.py)
+        if broadcast_threshold_vertices is not None:
+            use_broadcast = n <= broadcast_threshold_vertices
+        else:
+            use_broadcast = fits_broadcast_budget(
+                n, init.schema, broadcast_state_budget_bytes
+            )
         if use_broadcast:
-            msgs = (
-                e.join(F.broadcast(act), e["src_tag"] == act["tag"])
-                .groupBy(F.col("dst_tag").alias("tag"))
-                .agg(F.min("component").alias("msg"))
+            # Fast path (guide §2.4): broadcast-mode CC scatters on the
+            # ORIGINAL src tag and gathers by the original dst tag, so
+            # sub-vertex routing is physically irrelevant — the scatter
+            # table is the undirected edge set itself plus one SELF row
+            # per vertex. The self row carries the vertex's own old
+            # component through the same join+aggregation that gathers
+            # its messages, so the state is referenced exactly ONCE per
+            # superstep (no second vertex-sized join; see pagerank.py).
+            # coalesce: byte-sized partitions for the per-superstep scan
+            # (guide §2.2; see static_scan_partitions).
+            e_raw = (
+                und.select(
+                    F.col("src").alias("src_tag"),
+                    F.col("dst").alias("dst_tag"),
+                    F.lit(False).alias("self"),
+                ).unionByName(
+                    deg_str.select(
+                        F.col("tag").alias("src_tag"),
+                        F.col("tag").alias("dst_tag"),
+                        F.lit(True).alias("self"),
+                    )
+                )
+            )
+            e = checkpoint_static_sized(
+                e_raw.coalesce(static_scan_partitions(e_rows + n, e_raw.schema, spark)),
+                e_rows + n,
+                spark,
             )
         else:
-            sub_state = sub.join(act.hint("shuffle_hash"), "tag").select(
-                F.col("id").alias("src"), "component"
+            sg = split_graph(
+                edges,
+                threshold=threshold if split else 2**62,
+                alpha=alpha,
+                level=level,
+                mode=mode,
+                degree_df=deg_str.select(F.col("tag").alias("id"), "degree"),
+                und_df=und,
             )
-            msgs = (
-                e.join(sub_state.hint("shuffle_hash"), "src")
+            sub = sg.vertices.localCheckpoint(eager=True)  # static (id, tag)
+            # repartition(src): reused by every superstep's scatter join;
+            # storage level decided once from the known row count
+            e = checkpoint_static_sized(
+                sg.edges.select("src", "dst_tag").repartition(F.col("src")),
+                e_rows,
+                spark,
+            )
+
+    def step(state: DataFrame, i: int):
+        if use_broadcast:
+            g = (
+                e.join(F.broadcast(state), e["src_tag"] == state["tag"])
                 .groupBy(F.col("dst_tag").alias("tag"))
-                .agg(F.min("component").alias("msg"))
+                .agg(
+                    F.min(
+                        F.when(~F.col("self") & F.col(ACTIVE), F.col("component"))
+                    ).alias("msg"),
+                    F.max(F.when(F.col("self"), F.col("component"))).alias("old"),
+                )
             )
+            improved = F.col("msg") < F.col("old")  # null-safe: null ⇒ no-op
+            return g.select(
+                "tag",
+                F.least(F.col("old"), F.coalesce("msg", "old")).alias("component"),
+                F.coalesce(improved, F.lit(False)).alias(ACTIVE),
+                improved.alias(CHANGED),
+            )
+        act = state.filter(F.col(ACTIVE)).select("tag", "component")
+        sub_state = sub.join(act.hint("shuffle_hash"), "tag").select(
+            F.col("id").alias("src"), "component"
+        )
+        msgs = (
+            e.join(sub_state.hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst_tag").alias("tag"))
+            .agg(F.min("component").alias("msg"))
+        )
         improved = F.col("msg") < F.col("component")  # null-safe: null ⇒ no-op
         return state.join(msgs.hint("shuffle_hash"), "tag", "left").select(
             "tag",
@@ -156,7 +215,9 @@ def connected_components(
             improved.alias(CHANGED),
         )
 
-    runner = runner or SuperstepRunner(spark)
+    if runner is None:
+        runner = SuperstepRunner(spark)
+        runner.batch_size = superstep_batch
     if runner.fingerprint is None:
         fp = (
             f"connected_components:v2:split={split}:threshold={threshold}:"

@@ -41,7 +41,12 @@ def edge_common_neighbors(canon: DataFrame) -> DataFrame:
     Each triangle (v, b, c) found once (v = lowest-(degree,id) corner,
     b < c by id) contributes one common neighbor to each of its 3 edges.
     """
-    o = oriented_edges(canon).localCheckpoint(eager=True)
+    # materialize the canonical set once: the orientation pass and the
+    # wedge-close join below both consume it (guide §1.2 — without this
+    # the upstream plan, e.g. the co-occurrence self-join + distinct, runs
+    # twice), and it is already id-canonical by contract
+    canon = canon.localCheckpoint(eager=True)
+    o = oriented_edges(canon, already_canonical=True).localCheckpoint(eager=True)
     w = (
         o.alias("x")
         .join(o.alias("y"), F.col("x.lo") == F.col("y.lo"))

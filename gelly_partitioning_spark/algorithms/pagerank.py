@@ -31,17 +31,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..encoding import IdCollisionError, decode, encode_split_graph
-from ..graph import normalize_edges
+from ..graph import normalize_edges, undirected
 from ..splitting import split_graph
 from ..superstep import (
     CHANGED,
     DEFAULT_BROADCAST_STATE_BUDGET,
     SuperstepRunner,
     checkpoint_static,
+    checkpoint_static_sized,
     data_fingerprint,
     fits_broadcast_budget,
-    maybe_promote_static,
+    static_scan_partitions,
 )
+
+
+def _self_rows(deg: DataFrame) -> DataFrame:
+    """One (dst_tag=v, tag=v, deg=NULL) row per vertex for the broadcast-
+    state scatter table: the NULL deg makes rank/deg NULL (ignored by the
+    mass sum) while carrying the vertex's own old rank into its gather
+    group — the state then needs only ONE reference per superstep."""
+    return deg.select(
+        F.col("tag").alias("dst_tag"),
+        "tag",
+        F.lit(None).cast("double").alias("deg"),
+    )
 
 
 def pagerank(
@@ -87,109 +100,193 @@ def pagerank(
         sub_deg = prepared.sub_deg.cache()
         tag_dict = prepared.tag_dict
         deg = prepared.degrees().localCheckpoint(eager=True)
+        n = deg.count()
+        # same scatter-strategy decision as the fresh path (unchanged from
+        # r5: a prepared graph may still run broadcast-state scatter when
+        # the state fits the per-superstep broadcast budget)
+        if broadcast_threshold_vertices is not None:
+            use_broadcast = n <= broadcast_threshold_vertices
+        else:
+            use_broadcast = fits_broadcast_budget(
+                n,
+                deg.select("tag", F.lit(1.0).alias("rank")).schema,
+                broadcast_state_budget_bytes,
+            )
+        if use_broadcast:
+            e2 = checkpoint_static(
+                e.join(sub_deg.hint("shuffle_hash"), "src")
+                .select("dst_tag", "tag", "deg")
+                .unionByName(_self_rows(deg))
+            )
     else:
         edges = normalize_edges(edges)
         spark = edges.sparkSession
-        sg = split_graph(
-            edges,
-            threshold=threshold if split else 2**62,
-            alpha=alpha,
-            level=level,
-            mode=mode,
-        )
+        und = checkpoint_static(undirected(edges), eager=False)
 
-        tag_dict = None
-        if use_long_ids:
-            try:
-                eg = encode_split_graph(sg)
-                sub_raw, e_raw, tag_dict = eg.vertices, eg.edges, eg.tag_dict
-            except IdCollisionError:
-                use_long_ids = False
-        if not use_long_ids:
-            sub_raw, e_raw = sg.vertices, sg.edges.select("src", "dst_tag", "w")
-
-        # Static per-superstep inputs. Pre-hash-partition the routing edges
-        # by the scatter-join key and localCheckpoint: LogicalRDD preserves
-        # the partitioning, so every superstep's edge-side exchange is
-        # elided — only the (vertex-sized) rank table shuffles per
-        # iteration.
-        sub = sub_raw.localCheckpoint(eager=True)
-        e = checkpoint_static(
-            e_raw.select("src", "dst_tag").repartition(F.col("src"))
-        )
-
-        # Undirected degree per original vertex: on the undirected-expanded
-        # set the in-rows of a tag equal its out-rows, so groupBy(dst_tag)
-        # works on both the encoded and string representations.
-        deg = (
-            e.groupBy(F.col("dst_tag").alias("tag"))
+        # Undirected degree per ORIGINAL vertex (= per tag): one pass over
+        # the edge set, shared by the broadcast fast path, the split
+        # fan-out, and the scatter tables (guide §2.4: compute once, reuse
+        # everywhere). Materializing it also caches ``und`` for the later
+        # passes.
+        deg_str = (
+            und.groupBy(F.col("src").alias("tag"))
             .agg(F.count("*").cast("double").alias("deg"))
             .localCheckpoint(eager=True)
         )
-        # contribution weight rank/deg travels with each sub-vertex
-        sub_deg = (
-            sub.join(deg.withColumnRenamed("tag", "t"), sub["tag"] == F.col("t"))
-            .select(F.col("id").alias("src"), "tag", "deg")
-            .localCheckpoint(eager=True)
-        )
+        row = deg_str.agg(F.count("*").alias("n"), F.sum("deg").alias("er")).first()
+        n, e_rows = int(row["n"]), int(row["er"] or 0)
 
-    n = deg.count()
+        tag_dict = None
+        if use_long_ids:
+            # tag-level injectivity check on the (already distinct) tag
+            # table — vertex-sized, not edge-sized. The salted path below
+            # additionally re-checks sub-vertex ids via encode_split_graph.
+            c = deg_str.agg(
+                F.count("*").alias("tags"),
+                F.countDistinct(F.xxhash64("tag")).alias("htags"),
+            ).first()
+            if c["tags"] != c["htags"]:
+                use_long_ids = False
+        if use_long_ids:
+            tag_dict = deg_str.select(
+                F.xxhash64("tag").alias("tag"), F.col("tag").alias("tag_str")
+            ).localCheckpoint(eager=False)
+            deg = deg_str.select(F.xxhash64("tag").alias("tag"), "deg")
+        else:
+            deg = deg_str
+
+        # Two scatter strategies:
+        # - broadcast-state: the rank table (~16 B/vertex) is broadcast and
+        #   map-joined against a static (dst_tag, tag, deg) edge table —
+        #   the 2|E| side never shuffles; the only shuffle per superstep is
+        #   the V-sized gather partials. Local/medium clusters.
+        # - salted shuffle (V too big to re-broadcast every superstep):
+        #   sub-vertex routing (the reference's Split-Merge) with
+        #   shuffle_hash hints (build sides are vertex-sized; SMJ would
+        #   re-sort the edge side each superstep — measured 2-3x slower in
+        #   superstep_tune.py).
+        if broadcast_threshold_vertices is not None:
+            use_broadcast = n <= broadcast_threshold_vertices
+        else:
+            # byte budget, not row count: the state is re-broadcast EVERY
+            # superstep, so it must be a small fraction of driver/executor
+            # memory (VERDICT r1 #6)
+            use_broadcast = fits_broadcast_budget(
+                n,
+                deg.select("tag", F.lit(1.0).alias("rank")).schema,
+                broadcast_state_budget_bytes,
+            )
+
+        if use_broadcast:
+            # Fast path (guide §2.4/§1.2): in broadcast mode the scatter
+            # joins on the ORIGINAL tag and the gather groups by the
+            # original dst tag, so sub-vertex routing is physically
+            # irrelevant — the static (dst_tag, tag, deg) table is the
+            # undirected edge set itself with the (vertex-sized,
+            # broadcastable) degree table attached. Identical multiset to
+            # the split+join construction, built in ONE pass with ZERO
+            # shuffles, at the final storage level (no promote re-pass).
+            key = (lambda col: F.xxhash64(col)) if use_long_ids else F.col
+            # coalesce to a byte-sized partition count: the union of the
+            # undirected expansion (2x the input's partitions) + self rows
+            # otherwise leaves ~3x more, tiny, partitions than the data
+            # needs, and the per-task overhead of re-scanning them EVERY
+            # superstep dominates (measured at sf0.1: 1.5 s/superstep at
+            # ~190 partitions, 0.53-0.87 at 64, 0.27 at 8). coalesce is
+            # narrow (no shuffle) and static_scan_partitions scales with
+            # input bytes + session parallelism, not a constant
+            # (guide §2.2: fewer, larger partitions on the per-superstep
+            # side).
+            e2_raw = (
+                und.select(key("dst").alias("dst_tag"), key("src").alias("tag"))
+                .join(F.broadcast(deg), "tag")
+                .select("dst_tag", "tag", "deg")
+                .unionByName(_self_rows(deg))
+            )
+            e2 = checkpoint_static_sized(
+                e2_raw.coalesce(
+                    static_scan_partitions(e_rows + n, e2_raw.schema, spark)
+                ),
+                e_rows + n,
+                spark,
+            )
+        else:
+            sg = split_graph(
+                edges,
+                threshold=threshold if split else 2**62,
+                alpha=alpha,
+                level=level,
+                mode=mode,
+                degree_df=deg_str.select(
+                    F.col("tag").alias("id"), F.col("deg").cast("long").alias("degree")
+                ),
+                und_df=und,
+            )
+            if use_long_ids:
+                try:
+                    eg = encode_split_graph(sg)
+                    sub_raw, e_raw, tag_dict = eg.vertices, eg.edges, eg.tag_dict
+                except IdCollisionError:
+                    use_long_ids = False
+            if not use_long_ids:
+                sub_raw, e_raw = sg.vertices, sg.edges.select("src", "dst_tag", "w")
+                tag_dict = None
+                deg = deg_str
+
+            # Static per-superstep inputs. Pre-hash-partition the routing
+            # edges by the scatter-join key and localCheckpoint: LogicalRDD
+            # preserves the partitioning, so every superstep's edge-side
+            # exchange is elided — only the (vertex-sized) rank table
+            # shuffles per iteration. Storage level decided once from the
+            # known row count (no promote re-pass).
+            sub = sub_raw.localCheckpoint(eager=True)
+            e = checkpoint_static_sized(
+                e_raw.select("src", "dst_tag").repartition(F.col("src")), e_rows, spark
+            )
+            # contribution weight rank/deg travels with each sub-vertex
+            sub_deg = (
+                sub.join(deg.withColumnRenamed("tag", "t"), sub["tag"] == F.col("t"))
+                .select(F.col("id").alias("src"), "tag", "deg")
+                .localCheckpoint(eager=True)
+            )
+
     base = (1.0 - damping) / n
     init = deg.select("tag", F.lit(1.0 / n).alias("rank"))
 
     check_conv = fixed_iterations is None
     iters = fixed_iterations if fixed_iterations is not None else max_iterations
 
-    # Two scatter strategies:
-    # - broadcast-state (V ≤ threshold): the rank table (~16 B/vertex) is
-    #   broadcast and map-joined against a static (dst_tag, tag, deg) edge
-    #   table — the 2|E| side never shuffles; the only shuffle per
-    #   superstep is the V-sized gather partials. Local/medium clusters.
-    # - salted shuffle (V > threshold): state too big to broadcast —
-    #   sub-vertex routing (the reference's Split-Merge) with shuffle_hash
-    #   hints (build sides are vertex-sized; SMJ would re-sort the edge
-    #   side each superstep — measured 2-3x slower in superstep_tune.py).
-    if broadcast_threshold_vertices is not None:
-        use_broadcast = n <= broadcast_threshold_vertices
-    else:
-        # byte budget, not row count: the state is re-broadcast EVERY
-        # superstep, so it must be a small fraction of driver/executor
-        # memory (VERDICT r1 #6)
-        use_broadcast = fits_broadcast_budget(
-            n, init.schema, broadcast_state_budget_bytes
-        )
-    if use_broadcast:
-        e2 = checkpoint_static(
-            e.join(sub_deg.hint("shuffle_hash"), "src").select("dst_tag", "tag", "deg")
-        )
-    # mid-regime storage promotion: the routing table was checkpointed
-    # serialized (safe at-scale default); now that sum(deg) gives its row
-    # count for free, convert the per-superstep scan side to the
-    # deserialized layout when it comfortably fits storage memory —
-    # measured 1.4-1.6x per superstep (see maybe_promote_static)
-    if prepared is None:
-        e_rows = int(deg.agg(F.sum("deg")).first()[0] or 0)
-        if use_broadcast:
-            e2 = maybe_promote_static(e2, e_rows, spark)
-        else:
-            e = maybe_promote_static(e, e_rows, spark)
-
     def step(state: DataFrame, i: int):
         if use_broadcast:
-            msgs = (
+            # Single-reference superstep: each vertex's SELF row in e2
+            # (deg NULL — contributes nothing to the mass sum) carries its
+            # own old rank through the same broadcast join + aggregation
+            # that gathers its incoming messages. The state is therefore
+            # referenced exactly ONCE per superstep: no second
+            # (vertex-sized × vertex-sized) join, two fewer exchanges per
+            # superstep, and a chained batch plan grows linearly instead
+            # of doubling per superstep (guide §2.4).
+            g = (
                 e2.join(F.broadcast(state), "tag")
                 .groupBy(F.col("dst_tag").alias("tag"))
-                .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
+                .agg(
+                    F.sum(F.col("rank") / F.col("deg")).alias("mass"),
+                    F.max(F.when(F.col("deg").isNull(), F.col("rank"))).alias("old"),
+                )
             )
-        else:
-            sub_rank = sub_deg.join(state.hint("shuffle_hash"), "tag").select(
-                "src", (F.col("rank") / F.col("deg")).alias("contrib")
-            )
-            msgs = (
-                e.join(sub_rank.hint("shuffle_hash"), "src")
-                .groupBy(F.col("dst_tag").alias("tag"))
-                .agg(F.sum("contrib").alias("mass"))
-            )
+            new_rank = F.lit(base) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+            cols = ["tag", new_rank.alias("rank")]
+            if check_conv:
+                cols.append((F.abs(new_rank - F.col("old")) > tol).alias(CHANGED))
+            return g.select(*cols)
+        sub_rank = sub_deg.join(state.hint("shuffle_hash"), "tag").select(
+            "src", (F.col("rank") / F.col("deg")).alias("contrib")
+        )
+        msgs = (
+            e.join(sub_rank.hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst_tag").alias("tag"))
+            .agg(F.sum("contrib").alias("mass"))
+        )
         new_rank = F.lit(base) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
         cols = ["tag", new_rank.alias("rank")]
         if check_conv:

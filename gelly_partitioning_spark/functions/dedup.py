@@ -42,9 +42,17 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _shingles(text_col, n: int = 3):
-    """Word n-gram shingles of the lowercased token stream (distinct)."""
-    toks = tokens(F.lower(text_col))
+def _shingles_of(toks, n: int = 3):
+    """Word n-gram shingles (distinct) from a token-array column.
+
+    IMPORTANT: pass a *bound column reference* to a materialized token
+    array, not the tokenizing expression itself — ``toks`` is evaluated
+    once per element of the sliding window, so an inlined
+    ``split(trim(...))`` would re-run the regex tokenizer O(#tokens)
+    times per row (measured 4.5 s → 0.6 s for minhash_lsh at sf0.1;
+    guide §1.2: per-task work). ``_shingles`` / the two-projection
+    callers below keep that contract.
+    """
     # sliding window via transform over index range; filter out short tails
     return F.array_distinct(
         F.filter(
@@ -57,6 +65,22 @@ def _shingles(text_col, n: int = 3):
     )
 
 
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingles of the lowercased token stream (distinct)."""
+    return _shingles_of(tokens(F.lower(text_col)), n)
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, out: str
+) -> DataFrame:
+    """(id, <out>) — one row per distinct shingle, with the token array
+    materialized in its own projection first so the tokenizer runs once
+    per row (see _shingles_of)."""
+    return df.select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("_toks")
+    ).select("id", F.explode(_shingles_of(F.col("_toks"), n)).alias(out))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -65,8 +89,8 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig array<string>) — portable MinHash over word shingles."""
-    sh = df.select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n, "shingle").withColumnRenamed(
+        "id", id_col
     )
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))).alias(f"h{k}")
@@ -164,10 +188,7 @@ def ngram_jaccard_pairs(
     ``token_jaccard_pairs`` over the distinct shingle set (the set MinHash
     approximates; this is its exact counterpart). Shingles are rarer than
     tokens, so the prefix filter is even more selective here."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingles(F.col(text_col), n)).alias("tok"),
-    )
+    sh = _exploded_shingles(df, text_col, id_col, n, "tok")
     return _jaccard_pairs(sh, min_jaccard, prefix_filter, emit_counts)
 
 

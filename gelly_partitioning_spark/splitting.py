@@ -97,6 +97,7 @@ def split_graph(
     level: int = DEFAULT_LEVEL,
     mode: str = "flat",
     degree_df: DataFrame | None = None,
+    und_df: DataFrame | None = None,
 ) -> SplitGraph:
     """Build the split graph from a *directed* edge DataFrame.
 
@@ -121,7 +122,10 @@ def split_graph(
     # One shared, lazily-materialized undirected set: the degree pass and
     # the rewrite pass would otherwise each re-run the upstream scan +
     # distinct (the explain audit showed the subtree duplicated).
-    und = checkpoint_static(undirected(edges), eager=False)
+    # ``und_df`` lets a caller that already built (and cached) the
+    # undirected expansion pass it in instead of materializing a second
+    # copy (guide §1.2: no duplicate passes).
+    und = und_df if und_df is not None else checkpoint_static(undirected(edges), eager=False)
     if degree_df is None:
         degree_df = und.groupBy(F.col("src").alias("id")).agg(
             F.count("*").cast("long").alias("degree")

@@ -126,6 +126,77 @@ def checkpoint_static(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
+def checkpoint_static_sized(df: DataFrame, n_rows: int, spark: SparkSession) -> DataFrame:
+    """checkpoint_static with the storage level decided ONCE, up front.
+
+    Same policy as ``checkpoint_static`` + ``maybe_promote_static`` (ser
+    default at scale, deserialized in the mid regime where it fits), but
+    callers that already know the row count before the first
+    materialization use this to avoid the promote path's second full
+    materialization of the table (guide §1.2: one pass instead of two).
+    ``GPS_STATIC_STORAGE`` still pins the mode either way.
+    """
+    if os.environ.get("GPS_STATIC_STORAGE") is None and deserialized_cache_fits(
+        n_rows, df.schema, spark
+    ):
+        return df.localCheckpoint(eager=True)  # deserialized default level
+    return checkpoint_static(df)
+
+
+def session_broadcast_threshold(spark: SparkSession, default: int = 64 << 20) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes. Needed because
+    plans rooted at a localCheckpoint (LogicalRDD) carry NO size
+    statistics, so Catalyst never auto-broadcasts them — operators that
+    KNOW a checkpointed table's row count gate an explicit
+    ``F.broadcast`` on this same budget instead (guide §3.1)."""
+    v = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    if v is None:
+        return default
+    v = str(v).strip().lower().rstrip("b")
+    units = {"k": 10, "m": 20, "g": 30, "t": 40}
+    try:
+        if v and v[-1] in units:
+            return int(float(v[:-1]) * (1 << units[v[-1]]))
+        return int(v)
+    except ValueError:
+        return default
+
+
+# target bytes per partition for a cached static table that every
+# superstep re-scans: in-memory scans want far smaller partitions than the
+# 128 MB-1 GB file-scan guidance (guide §2.2/§6) — the per-task overhead of
+# re-launching the scan tens of times per run dominates long before CPU
+# does. Measured at sf0.1 (1.2 M rows ≈ 50 MB): 8 partitions → 0.27
+# s/superstep, 64 → 0.53-0.87 s/superstep, linear in between.
+STATIC_SCAN_PARTITION_BYTES = 16 << 20
+
+
+def static_scan_partitions(n_rows: int, schema, spark: SparkSession) -> int:
+    """Scale-adaptive partition count for a per-superstep static table:
+    ~``STATIC_SCAN_PARTITION_BYTES`` per partition, floored at
+    min(8, shuffle.partitions) for small inputs and capped at
+    4x shuffle.partitions so huge inputs still track the session's
+    configured parallelism rather than a constant."""
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    est = n_rows * estimate_row_bytes(schema)
+    parts = est // STATIC_SCAN_PARTITION_BYTES + 1
+    return int(max(min(8, sp), min(parts, 4 * sp)))
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of a localCheckpointed DataFrame's cached RDD.
+
+    Only frames whose analyzed plan is a LogicalRDD (i.e. produced by
+    localCheckpoint) hold a persisted RDD; anything else is a no-op (the
+    reflection call fails and is swallowed). See maybe_promote_static for
+    why the LogicalRDD's own RDD is the one that must be released.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _executor_heap_bytes(spark: SparkSession) -> int:
     """Per-executor JVM heap. local mode: the one JVM's Runtime.maxMemory
     (executors live in the driver). Cluster: spark.executor.memory."""
@@ -258,6 +329,10 @@ class SuperstepRunner:
     # wall/superstep that chose the current _auto_k + batches since then
     _auto_est_wall: Optional[float] = None
     _auto_batches_since: int = 0
+    # fixed+marginal batch-cost model (observe_batch): cheapest wall seen
+    # per batch size k, and the last fitted (fixed_sec, marginal_sec)
+    _obs_min: dict = field(default_factory=dict)
+    _fit: Optional[tuple] = None
     metrics: list = field(default_factory=list)
     converged: bool = False
     # identity of the run (algorithm name + parameters + input-data
@@ -278,6 +353,10 @@ class SuperstepRunner:
     ) -> DataFrame:
         state, start_iteration = self._maybe_resume(state, start_iteration)
         state = state.localCheckpoint(eager=True)
+        # the loop-carried state from the PREVIOUS batch: still referenced
+        # by the current batch's plan (and its broadcast builds), released
+        # only after the current batch has materialized
+        prev_base: Optional[DataFrame] = state
         self.converged = False
         i = start_iteration
         while i <= max_iterations:
@@ -294,6 +373,7 @@ class SuperstepRunner:
             for j in range(1, k):
                 new_state = step(new_state.drop(CHANGED), i + j)
             new_state = new_state.localCheckpoint(eager=False)
+            batch_base = new_state  # the frame holding this batch's cached RDD
             has_flag = CHANGED in new_state.columns
             if has_flag:
                 agg = new_state.agg(
@@ -307,7 +387,7 @@ class SuperstepRunner:
             i_end = i + k - 1
             wall = time.time() - t0
             if auto:
-                self.observe_batch_wall(wall / k)
+                self.observe_batch(k, wall)
             m = SuperstepMetrics(i_end, rows, changed, wall)
             if self.collect_partition_metrics:
                 m.partition_rows = [
@@ -318,6 +398,12 @@ class SuperstepRunner:
                     .collect()
                 ]
             self.metrics.append(m)
+            # this batch is materialized: the previous loop-carried state is
+            # dead — release its cached RDD so long runs do not accumulate
+            # one vertex-sized cache per batch
+            if prev_base is not None:
+                release_checkpoint(prev_base)
+            prev_base = batch_base
             state = new_state
             if self.checkpoint_dir and (
                 i_end // self.checkpoint_every > (i - 1) // self.checkpoint_every
@@ -328,6 +414,53 @@ class SuperstepRunner:
                 break
             i = i_end + 1
         return state
+
+    def observe_batch(self, k: int, wall_sec: float) -> None:
+        """Feed one batch's (batch size, wall) into the auto-K estimator.
+
+        A batch's wall is well modelled as ``a + b*k``: a FIXED per-action
+        cost (driver planning, job scheduling, AQE stage setup, the
+        convergence agg) plus a MARGINAL per-superstep compute cost.
+        The r5 estimator (``observe_batch_wall``) divided the whole wall
+        by k, so when the fixed cost dominates (small graphs — exactly
+        where batching matters) it saw ~``a/k + b`` per superstep and
+        chose K ≈ target/(a+b): the fixed cost it was built to amortize
+        kept K pinned near 2 (measured live in r6: a≈1.2s, b≈0.2s at
+        sf0.1 → old K stuck at 2, 1.1 s/superstep; fitted K≈9 →
+        0.35 s/superstep). This estimator fits (a, b) from the cheapest
+        observed wall at the two most distant batch sizes and picks
+        K = (target − a)/b — i.e. it sizes the MARGINAL work per action
+        to the target, treating the fixed cost as the overhead it is.
+        Falls back to the r5 formula until two distinct batch sizes have
+        been observed. Pure driver-side arithmetic; results are
+        unaffected (K only sets how many supersteps one action
+        amortizes, bounded by AUTO_BATCH_MAX).
+        """
+        self._auto_batches_since += 1
+        per = wall_sec / max(k, 1)
+        if self._fit is not None:
+            # environment shift (the sandbox shows 2-3x windows): predict
+            # this batch from the current model; far off → restart the
+            # observation set from this batch alone
+            pred = self._fit[0] + self._fit[1] * k
+            if not (0.5 * pred <= wall_sec <= 2.0 * pred):
+                self._obs_min = {}
+                self._fit = None
+        prev = self._obs_min.get(k)
+        self._obs_min[k] = wall_sec if prev is None else min(prev, wall_sec)
+        ks = sorted(self._obs_min)
+        if len(ks) >= 2:
+            k_lo, k_hi = ks[0], ks[-1]
+            b = (self._obs_min[k_hi] - self._obs_min[k_lo]) / (k_hi - k_lo)
+            b = max(b, 0.02 * per, 1e-3)  # floor: never extrapolate free work
+            a = max(self._obs_min[k_lo] - b * k_lo, 0.0)
+            self._fit = (a, b)
+            head = self.auto_batch_target_sec - a
+            self._auto_k = max(1, min(AUTO_BATCH_MAX, int(head / b) if head > b else 1))
+            self._auto_est_wall = per
+            self._auto_batches_since = 0
+        else:
+            self.observe_batch_wall(per)
 
     def observe_batch_wall(self, per_superstep_sec: float) -> None:
         """Feed one batch's measured per-superstep wall into the auto-K
