@@ -308,7 +308,12 @@ def pagerank(
         if runner.checkpoint_dir:
             # input identity: resuming this dir against a different edge
             # table must start fresh, not load matching-schema stale state
-            fp += f":data[{data_fingerprint(e, 'src', 'dst_tag')}]"
+            # fingerprint the table the loop actually consumes (broadcast
+            # mode has no salted routing table)
+            if use_broadcast:
+                fp += f":data[{data_fingerprint(e2, 'dst_tag', 'tag')}]"
+            else:
+                fp += f":data[{data_fingerprint(e, 'src', 'dst_tag')}]"
         runner.fingerprint = fp
     final = runner.run(init, step, iters)
     if tag_dict is not None:

@@ -1,0 +1,99 @@
+"""Dump .explain('formatted') plans for the r06-touched queries.
+
+Usage: python tools/dump_plans_r06.py <out_dir> [suffix] [sf_dir]
+
+Writes <out_dir>/<query>_<suffix>.txt. For the iterative algorithms the
+interesting plan is the per-superstep step() output (the query-level
+DataFrame is lineage-truncated by the runner's checkpoints), so the
+runner is monkeypatched to capture superstep 1's plan — this works
+unchanged on both the round-start ("before") and optimized ("after")
+trees, so the same script produces the comparable pair.
+"""
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+out_dir = Path(sys.argv[1])
+suffix = sys.argv[2] if len(sys.argv) > 2 else "after"
+sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+out_dir.mkdir(parents=True, exist_ok=True)
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def dump(name: str, text: str) -> None:
+    p = out_dir / f"{name}_{suffix}.txt"
+    p.write_text(text)
+    ex = text.count("Exchange") - text.count("ReusedExchange")
+    print(f"{name}: exchanges={ex} bhj={text.count('BroadcastHashJoin')} "
+          f"smj={text.count('SortMergeJoin')} shj={text.count('ShuffledHashJoin')}")
+
+
+from gelly_partitioning_spark import get_spark  # noqa: E402
+import gelly_partitioning_spark.superstep as ss  # noqa: E402
+
+spark = get_spark(app_name="dump-plans-r06", cores=8, shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as entry  # noqa: E402
+
+# -- iterative: capture superstep 1's plan via a runner hook ----------------
+captured: dict = {}
+
+
+class _StopAfterPlan(Exception):
+    pass
+
+
+_orig_run = ss.SuperstepRunner.run
+
+
+def _capturing_run(self, state, step, max_iterations, start_iteration=1):
+    captured["plan"] = plan_of(step(state.localCheckpoint(eager=True), start_iteration))
+    raise _StopAfterPlan()
+
+
+def capture_step(name: str, fn):
+    ss.SuperstepRunner.run = _capturing_run
+    try:
+        fn()
+    except _StopAfterPlan:
+        pass
+    finally:
+        ss.SuperstepRunner.run = _orig_run
+    dump(name, captured.pop("plan"))
+
+
+from gelly_partitioning_spark import connected_components, pagerank  # noqa: E402
+
+edges = entry.ps_edges(spark, sf_dir).cache()
+edges.count()
+capture_step(
+    "pagerank_step",
+    lambda: pagerank(
+        edges, tol=1e-6, max_iterations=100, split=True, threshold=256,
+        alpha=2, level=6, superstep_batch=0,
+    ),
+)
+capture_step(
+    "cc_step",
+    lambda: connected_components(edges, threshold=256, max_iterations=60),
+)
+
+# -- one-shot queries: the query-level plan is the evidence -----------------
+dump("triangle_count", plan_of(entry._q_triangle(spark, sf_dir)))
+dump("minhash_lsh", plan_of(entry._q_minhash(spark, sf_dir)))
+dump("jaccard", plan_of(entry._q_jaccard(spark, sf_dir)))
+dump("degree_count", plan_of(entry._q_degree(spark, sf_dir)))
+spark.stop()
