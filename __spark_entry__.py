@@ -113,12 +113,28 @@ def cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem(spark, sf_dir).select(
         "l_orderkey", F.col("l_partkey").cast("long").alias("pk")
     )
-    a = li.select("l_orderkey", F.col("pk").alias("ka"))
-    b = li.select("l_orderkey", F.col("pk").alias("kb"))
+    # one shuffle (groupBy orderkey) + in-row pair generation instead of
+    # the equivalent self-join (which pays the same exchange plus a sort
+    # and merge); collect_set order is irrelevant — every a<b combination
+    # is emitted and the global distinct fixes the set
+    grp = li.groupBy("l_orderkey").agg(F.collect_set("pk").alias("ps"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("ka").cast("string") < F.col("kb").cast("string"))
-        .select("ka", "kb")
+        grp.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda a: F.filter(
+                            F.transform(
+                                "ps", lambda b: F.struct(a.alias("ka"), b.alias("kb"))
+                            ),
+                            lambda s: s["ka"].cast("string") < s["kb"].cast("string"),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.ka").alias("ka"), F.col("p.kb").alias("kb"))
         .distinct()
     )
     return pairs.select(

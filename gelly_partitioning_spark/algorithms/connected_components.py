@@ -218,6 +218,11 @@ def connected_components(
     if runner is None:
         runner = SuperstepRunner(spark)
         runner.batch_size = superstep_batch
+    if not use_broadcast:
+        # the salted step references its input state twice (scatter +
+        # old-value join): chained batches need per-intermediate lineage
+        # truncation or the composed plan doubles per superstep
+        runner.chain_checkpoint = True
     if runner.fingerprint is None:
         fp = (
             f"connected_components:v2:split={split}:threshold={threshold}:"

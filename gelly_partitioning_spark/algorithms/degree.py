@@ -25,7 +25,14 @@ def degree_count(
     level: int = 4,
     mode: str = "flat",
 ) -> DataFrame:
-    """(id, degree): undirected degree per original vertex."""
+    """(id, degree): undirected degree per original vertex.
+
+    Examined in r6 and deliberately kept as-is: pre-materializing the
+    degree/undirected tables (the win for the ITERATIVE consumers, which
+    re-scan them every superstep) measured 4.4 s vs 2.3 s here — a
+    one-pass query pays the serialized cache write without ever
+    amortizing it (guide §5: cache only what is reused enough).
+    """
     edges = normalize_edges(edges)
     if not split:
         return degrees(edges)

@@ -46,16 +46,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..graph import normalize_edges
+from ..graph import normalize_edges, undirected
 from ..splitting import split_graph
 from ..superstep import (
     CHANGED,
     DEFAULT_BROADCAST_STATE_BUDGET,
     SuperstepRunner,
     checkpoint_static,
+    checkpoint_static_sized,
     data_fingerprint,
     fits_broadcast_budget,
-    maybe_promote_static,
+    static_scan_partitions,
 )
 
 
@@ -95,6 +96,15 @@ def label_propagation(
     runner drops to k=1 exactly while the delta crossover is engaged
     (``batch_size_fn`` below); 0 = auto-choose from the first superstep's
     wall."""
+    # try_cast: non-numeric ids fall back to a stable 64-bit hash (a plain
+    # cast throws under ANSI instead of returning NULL)
+    label0 = F.coalesce(F.expr("try_cast(tag as long)"), F.xxhash64("tag"))
+    init_cols = [
+        "tag",
+        label0.alias("label"),
+        F.lit(1.0).alias("score"),
+        F.lit(True).alias(ACTIVE),
+    ]
     if prepared is not None:
         if prepared.tag_dict is not None:
             raise ValueError(
@@ -104,55 +114,67 @@ def label_propagation(
             )
         spark = prepared.edges.sparkSession
         sub = prepared.sub_deg.select(F.col("src").alias("id"), "tag").cache()
+        init = sub.select("tag").distinct().select(*init_cols).localCheckpoint(eager=True)
+        n = init.count()
+        use_broadcast = False
+        e = prepared.edges.cache()  # (src, dst_tag, w), bucketed by src
+        # 2|E_sub| rows — drives the delta-path affected-set budget guard
+        e_rows = e.count()
     else:
         edges = normalize_edges(edges)
         spark = edges.sparkSession
-        sg = split_graph(
-            edges,
-            threshold=threshold if split else 2**62,
-            alpha=alpha,
-            level=level,
-            mode=mode,
+        und = checkpoint_static(undirected(edges), eager=False)
+        # one pass: vertex/degree table shared by init, the broadcast
+        # decision, the split fan-out and the storage-level sizing
+        # (guide §1.2/§2.4)
+        deg_str = (
+            und.groupBy(F.col("src").alias("tag"))
+            .agg(F.count("*").cast("long").alias("degree"))
+            .localCheckpoint(eager=True)
         )
-        sub = sg.vertices.localCheckpoint(eager=True)
+        row = deg_str.agg(F.count("*").alias("n"), F.sum("degree").alias("er")).first()
+        n, e_rows = int(row["n"]), int(row["er"] or 0)
+        init = deg_str.select(*init_cols)
 
-    # try_cast: non-numeric ids fall back to a stable 64-bit hash (a plain
-    # cast throws under ANSI instead of returning NULL)
-    label0 = F.coalesce(F.expr("try_cast(tag as long)"), F.xxhash64("tag"))
-    init = (
-        sub.select("tag")
-        .distinct()
-        .select(
-            "tag",
-            label0.alias("label"),
-            F.lit(1.0).alias("score"),
-            F.lit(True).alias(ACTIVE),
-        )
-        .localCheckpoint(eager=True)
-    )
-    n = init.count()
-
-    if prepared is not None:
-        use_broadcast = False
-        e = prepared.edges.cache()  # (src, dst_tag, w), bucketed by src
-    elif broadcast_threshold_vertices is not None:
-        use_broadcast = n <= broadcast_threshold_vertices
-    else:
-        use_broadcast = fits_broadcast_budget(
-            n, init.schema, broadcast_state_budget_bytes
-        )
-    if prepared is None and use_broadcast:
-        e = checkpoint_static(sg.edges.select("src_tag", "dst_tag", "w"))
-    elif prepared is None:
-        # repartition(src): reused by every superstep's scatter join
-        e = checkpoint_static(sg.edges.select("src", "dst_tag", "w").repartition(F.col("src")))
-
-    # 2|E_sub| rows — drives the delta-path affected-set budget guard AND
-    # the mid-regime storage promotion of the per-superstep scan side
-    e_rows = e.count()
+        if broadcast_threshold_vertices is not None:
+            use_broadcast = n <= broadcast_threshold_vertices
+        else:
+            use_broadcast = fits_broadcast_budget(
+                n, init.schema, broadcast_state_budget_bytes
+            )
+        if use_broadcast:
+            # Fast path (guide §2.4): broadcast-mode LP scatters on the
+            # ORIGINAL src tag and gathers by the original dst tag, so
+            # sub-vertex routing is physically irrelevant — the scatter
+            # table is the undirected edge set itself, built in one pass
+            # with zero shuffles at a byte-sized partition count.
+            e_raw = und.select(
+                F.col("src").alias("src_tag"), F.col("dst").alias("dst_tag"), "w"
+            )
+            e = checkpoint_static_sized(
+                e_raw.coalesce(static_scan_partitions(e_rows, e_raw.schema, spark)),
+                e_rows,
+                spark,
+            )
+        else:
+            sg = split_graph(
+                edges,
+                threshold=threshold if split else 2**62,
+                alpha=alpha,
+                level=level,
+                mode=mode,
+                degree_df=deg_str.select(F.col("tag").alias("id"), "degree"),
+                und_df=und,
+            )
+            sub = sg.vertices.localCheckpoint(eager=True)
+            # repartition(src): reused by every superstep's scatter join;
+            # storage level decided once from the known row count
+            e = checkpoint_static_sized(
+                sg.edges.select("src", "dst_tag", "w").repartition(F.col("src")),
+                e_rows,
+                spark,
+            )
     avg_deg = max(1.0, e_rows / max(n, 1))
-    if prepared is None:
-        e = maybe_promote_static(e, e_rows, spark)
 
     def _messages(state: DataFrame, frontier: DataFrame | None) -> DataFrame:
         """(tag, label, ms) gather messages. ``frontier=None`` → full
@@ -265,6 +287,12 @@ def label_propagation(
     runner = runner or SuperstepRunner(spark)
     if superstep_batch != 1 and runner.batch_size == 1:
         runner.batch_size = superstep_batch
+    # the LP step references its input state twice in BOTH modes (scatter +
+    # keep-old-value join): chained batches need per-intermediate lineage
+    # truncation or the composed plan doubles per superstep (the r6 auto-K
+    # model legitimately picks K up to 16 on fixed-cost-dominated graphs,
+    # and 2^16 plan copies hang Catalyst's single-threaded planner)
+    runner.chain_checkpoint = True
     if workset:
         # micro-batching × delta iteration (VERDICT r3 #5): full-scatter
         # supersteps batch freely (the decision is frozen per batch —

@@ -28,6 +28,16 @@ from ..graph import normalize_edges
 from ..splitting import split_graph
 
 
+def _shared_split(edges: DataFrame, threshold, alpha: int, level: int):
+    """Examined in r6 and deliberately left as bare split_graph: these are
+    ONE-PASS consumers of the split edges, and pre-materializing the
+    degree/undirected tables costs a serialized cache write that a single
+    pass never amortizes (measured on degree_count: 4.4 s vs 2.3 s at
+    sf0.1; guide §5). The iterative algorithms, which re-scan every
+    superstep, do share those tables — see pagerank/cc/lp."""
+    return split_graph(edges, threshold=threshold, alpha=alpha, level=level)
+
+
 def neighbor_sets(
     edges: DataFrame,
     split: bool = True,
@@ -48,7 +58,7 @@ def neighbor_sets(
     gate), where an array cell is not.
     """
     edges = normalize_edges(edges)
-    sg = split_graph(edges, threshold=threshold if split else 2**62, alpha=alpha, level=level)
+    sg = _shared_split(edges, threshold if split else 2**62, alpha, level)
     partial = sg.edges.groupBy("src", "src_tag").agg(
         F.collect_set("dst_tag").alias("part")
     )
@@ -89,7 +99,7 @@ def aggregate_neighborhoods(
     valid for associative combiners, the reference's requirement).
     """
     edges = normalize_edges(edges)
-    sg = split_graph(edges, threshold=threshold if split else 2**62, alpha=alpha, level=level)
+    sg = _shared_split(edges, threshold if split else 2**62, alpha, level)
     gathered = sg.edges.select(
         F.col("src").alias("id"),
         F.col("src_tag").alias("tag"),

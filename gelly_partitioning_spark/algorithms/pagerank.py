@@ -300,6 +300,11 @@ def pagerank(
     # picks K itself (choose_batch_size)
     if superstep_batch != 1 and runner.batch_size == 1:
         runner.batch_size = superstep_batch
+    if not use_broadcast:
+        # the salted step references its input state twice (scatter +
+        # old-value join): chained batches need per-intermediate lineage
+        # truncation or the composed plan doubles per superstep
+        runner.chain_checkpoint = True
     if runner.fingerprint is None:
         fp = (
             f"pagerank:v2:damping={damping}:tol={tol}:fixed={fixed_iterations}:"

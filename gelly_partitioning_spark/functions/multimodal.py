@@ -88,6 +88,10 @@ def decode_ppm(payload: bytes):
     width, height, maxval = (int(t) for t in toks)
     if maxval > 255:
         raise ValueError("16-bit PPM samples not supported")
+    if maxval < 1:
+        # a declared maxval of 0 would make the maxval normalization
+        # divide by zero and emit inf/nan features silently (ADVICE r5)
+        raise ValueError(f"invalid PPM maxval: {maxval}")
     need = width * height * channels
     data = payload[i + 1 : i + 1 + need]
     if len(data) < need:

@@ -155,11 +155,11 @@ def _cosine_topk_numpy(
 
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    first = src.select(F.size("v").alias("d")).first()
-    if first is None:
+    # one job for (row count, dim) instead of a first() plus a count()
+    row = src.agg(F.count("*").alias("n"), F.first(F.size("v")).alias("d")).first()
+    if not row["n"]:
         return spark.createDataFrame([], "id long, neighbor long, cos double, rk int")
-    dim = first["d"]
-    n = src.count()
+    dim, n = row["d"], row["n"]
     n_shards = max(1, math.ceil(n * dim * 8 / shard_bytes))
 
     partials = []
@@ -249,11 +249,11 @@ def _cosine_topk_blocked(
 
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    first = src.select(F.size("v").alias("d")).first()
-    if first is None:
+    # one job for (row count, dim) instead of a first() plus a count()
+    row = src.agg(F.count("*").alias("n"), F.first(F.size("v")).alias("d")).first()
+    if not row["n"]:
         return spark.createDataFrame([], "id long, neighbor long, cos double, rk int")
-    dim = first["d"]
-    n = src.count()
+    dim, n = row["d"], row["n"]
     n_blocks = max(1, math.ceil(n * dim * 8 / block_bytes))
 
     rbs = F.array(*[F.lit(i) for i in range(n_blocks)])

@@ -166,21 +166,22 @@ def session_broadcast_threshold(spark: SparkSession, default: int = 64 << 20) ->
 # superstep re-scans: in-memory scans want far smaller partitions than the
 # 128 MB-1 GB file-scan guidance (guide §2.2/§6) — the per-task overhead of
 # re-launching the scan tens of times per run dominates long before CPU
-# does. Measured at sf0.1 (1.2 M rows ≈ 50 MB): 8 partitions → 0.27
-# s/superstep, 64 → 0.53-0.87 s/superstep, linear in between.
+# does. Measured at sf0.1 (1.2 M rows ≈ 50 MB): 4 partitions → 0.22
+# s/superstep, 8 → 0.27-0.34, 64 → 0.53-0.87, ~190 → 1.5 — roughly
+# linear in the partition count once each partition is CPU-trivial.
 STATIC_SCAN_PARTITION_BYTES = 16 << 20
 
 
 def static_scan_partitions(n_rows: int, schema, spark: SparkSession) -> int:
     """Scale-adaptive partition count for a per-superstep static table:
     ~``STATIC_SCAN_PARTITION_BYTES`` per partition, floored at
-    min(8, shuffle.partitions) for small inputs and capped at
+    min(4, shuffle.partitions) for small inputs and capped at
     4x shuffle.partitions so huge inputs still track the session's
     configured parallelism rather than a constant."""
     sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     est = n_rows * estimate_row_bytes(schema)
     parts = est // STATIC_SCAN_PARTITION_BYTES + 1
-    return int(max(min(8, sp), min(parts, 4 * sp)))
+    return int(max(min(4, sp), min(parts, 4 * sp)))
 
 
 def release_checkpoint(df: DataFrame) -> None:
@@ -324,6 +325,17 @@ class SuperstepRunner:
     # consulted at each batch boundary; overrides batch_size when set (may
     # itself return AUTO_BATCH to delegate to the auto chooser)
     batch_size_fn: Optional[Callable[[], int]] = None
+    # Set by algorithms whose step() references its input state MORE THAN
+    # ONCE (e.g. scatter + old-value join): composing k such raw plans
+    # duplicates the state subtree ~2^k-fold and Catalyst's single-threaded
+    # planner hangs for minutes at k=16 (observed live in r6). When True,
+    # every intra-batch intermediate gets a LAZY localCheckpoint — its plan
+    # becomes a LogicalRDD immediately (growth back to linear) while the
+    # batch still materializes in one driver-side action; the intermediate
+    # RDD caches are released right after the batch lands. Costs ~0.1
+    # s/superstep of cache writes, so single-reference steps (the
+    # broadcast-mode fast paths) leave it off.
+    chain_checkpoint: bool = False
     auto_batch_target_sec: float = AUTO_BATCH_TARGET_SEC
     _auto_k: Optional[int] = None
     # wall/superstep that chose the current _auto_k + batches since then
@@ -368,10 +380,16 @@ class SuperstepRunner:
             # lazy localCheckpoint: the convergence agg below is the one
             # materializing action per batch — it computes the k chained
             # superstep states, caches the last, and truncates lineage in
-            # a single job
+            # a single job (plus per-intermediate truncation when the
+            # algorithm declared chain_checkpoint — see the field doc)
+            intermediates = []
             new_state = step(state, i)
             for j in range(1, k):
-                new_state = step(new_state.drop(CHANGED), i + j)
+                inter = new_state.drop(CHANGED)
+                if self.chain_checkpoint:
+                    inter = inter.localCheckpoint(eager=False)
+                    intermediates.append(inter)
+                new_state = step(inter, i + j)
             new_state = new_state.localCheckpoint(eager=False)
             batch_base = new_state  # the frame holding this batch's cached RDD
             has_flag = CHANGED in new_state.columns
@@ -398,9 +416,12 @@ class SuperstepRunner:
                     .collect()
                 ]
             self.metrics.append(m)
-            # this batch is materialized: the previous loop-carried state is
-            # dead — release its cached RDD so long runs do not accumulate
-            # one vertex-sized cache per batch
+            # this batch is materialized: the previous loop-carried state
+            # and the intra-batch intermediates are dead — release their
+            # cached RDDs so long runs do not accumulate one vertex-sized
+            # cache per batch/superstep
+            for df_ in intermediates:
+                release_checkpoint(df_)
             if prev_base is not None:
                 release_checkpoint(prev_base)
             prev_base = batch_base

@@ -229,17 +229,30 @@ def main():
             # legs use <= 8 of the 32 hardware threads, so a 4 s
             # single-core probe every ~2 min reads the window state
             # without perturbing the leg (and identically at both levels).
-            proc = subprocess.Popen(
-                [sys.executable, __file__, "--level", str(cores), sf_dir, str(n_files)],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-            )
-            probes_mid: list[float] = []
-            while proc.poll() is None:
-                try:
-                    proc.wait(timeout=120)
-                except subprocess.TimeoutExpired:
-                    probes_mid.append(round(probe_machine(), 3))
-            out_stdout, out_stderr = proc.communicate()
+            # child output goes to temp FILES, not pipes: the mid-probe
+            # wait loop below does not drain a pipe, so a chatty child
+            # (Spark WARNs, a failure stack trace) would fill the ~64 KB
+            # pipe buffer, block on write, and deadlock the session
+            # (ADVICE r5). Files are unbounded; read them after exit.
+            import tempfile
+
+            with tempfile.TemporaryFile(mode="w+") as f_out, tempfile.TemporaryFile(
+                mode="w+"
+            ) as f_err:
+                proc = subprocess.Popen(
+                    [sys.executable, __file__, "--level", str(cores), sf_dir, str(n_files)],
+                    stdout=f_out, stderr=f_err, text=True, env=env,
+                )
+                probes_mid: list[float] = []
+                while proc.poll() is None:
+                    try:
+                        proc.wait(timeout=120)
+                    except subprocess.TimeoutExpired:
+                        probes_mid.append(round(probe_machine(), 3))
+                f_out.seek(0)
+                out_stdout = f_out.read()
+                f_err.seek(0)
+                out_stderr = f_err.read()
             t_tot1, t_st1 = read_cpu_stat()
             probe_after = probe_machine()
             probe_prev = probe_after  # next leg's "before" (back-to-back legs)
