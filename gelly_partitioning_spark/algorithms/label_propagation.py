@@ -123,12 +123,14 @@ def label_propagation(
     else:
         edges = normalize_edges(edges)
         spark = edges.sparkSession
-        und = checkpoint_static(undirected(edges), eager=False)
-        # one pass: vertex/degree table shared by init, the broadcast
+        # one pass over the DIRECTED edges (out+in ≡ the undirected
+        # groupBy): vertex/degree table shared by init, the broadcast
         # decision, the split fan-out and the storage-level sizing
-        # (guide §1.2/§2.4)
+        # (guide §1.2/§2.4) — no serialized cache of the 2|E| expansion
+        # just to aggregate it (guide §5)
         deg_str = (
-            und.groupBy(F.col("src").alias("tag"))
+            edges.select(F.explode(F.array("src", "dst")).alias("tag"))
+            .groupBy("tag")
             .agg(F.count("*").cast("long").alias("degree"))
             .localCheckpoint(eager=True)
         )
@@ -148,6 +150,8 @@ def label_propagation(
             # sub-vertex routing is physically irrelevant — the scatter
             # table is the undirected edge set itself, built in one pass
             # with zero shuffles at a byte-sized partition count.
+            # plain plan: the expansion is consumed exactly once here
+            und = undirected(edges)
             e_raw = und.select(
                 F.col("src").alias("src_tag"), F.col("dst").alias("dst_tag"), "w"
             )
@@ -157,6 +161,9 @@ def label_propagation(
                 spark,
             )
         else:
+            # salted path: the expansion feeds the split rewrite AND the
+            # sub-vertex derivation — share one lazy cache
+            und = checkpoint_static(undirected(edges), eager=False)
             sg = split_graph(
                 edges,
                 threshold=threshold if split else 2**62,

@@ -121,15 +121,16 @@ def pagerank(
     else:
         edges = normalize_edges(edges)
         spark = edges.sparkSession
-        und = checkpoint_static(undirected(edges), eager=False)
 
-        # Undirected degree per ORIGINAL vertex (= per tag): one pass over
-        # the edge set, shared by the broadcast fast path, the split
-        # fan-out, and the scatter tables (guide §2.4: compute once, reuse
-        # everywhere). Materializing it also caches ``und`` for the later
-        # passes.
+        # Undirected degree per ORIGINAL vertex (= per tag), aggregated
+        # from the DIRECTED edges (out+in ≡ the undirected groupBy): one
+        # pass, shared by the broadcast fast path, the split fan-out and
+        # the scatter tables (guide §2.4) — and no serialized cache of
+        # the 2|E| undirected expansion just to aggregate it (measured
+        # ~1 s of pure cache-write at sf0.1; guide §5).
         deg_str = (
-            und.groupBy(F.col("src").alias("tag"))
+            edges.select(F.explode(F.array("src", "dst")).alias("tag"))
+            .groupBy("tag")
             .agg(F.count("*").cast("double").alias("deg"))
             .localCheckpoint(eager=True)
         )
@@ -187,6 +188,10 @@ def pagerank(
             # the split+join construction, built in ONE pass with ZERO
             # shuffles, at the final storage level (no promote re-pass).
             key = (lambda col: F.xxhash64(col)) if use_long_ids else F.col
+            # plain plan, not a cached checkpoint: the expansion is
+            # consumed exactly ONCE (this build) — a lazy serialized
+            # cache would be written and read back for a single consumer
+            und = undirected(edges)
             # coalesce to a byte-sized partition count: the union of the
             # undirected expansion (2x the input's partitions) + self rows
             # otherwise leaves ~3x more, tiny, partitions than the data
@@ -211,6 +216,9 @@ def pagerank(
                 spark,
             )
         else:
+            # salted path: the expansion feeds the split rewrite AND the
+            # sub-vertex derivation — share one lazy cache
+            und = checkpoint_static(undirected(edges), eager=False)
             sg = split_graph(
                 edges,
                 threshold=threshold if split else 2**62,
