@@ -34,6 +34,8 @@ parses Long).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..graph import normalize_edges, undirected
@@ -41,6 +43,7 @@ from ..splitting import split_graph
 from ..superstep import (
     CHANGED,
     DEFAULT_BROADCAST_STATE_BUDGET,
+    SuperstepMetrics,
     SuperstepRunner,
     checkpoint_static,
     checkpoint_static_sized,
@@ -50,6 +53,84 @@ from ..superstep import (
 )
 
 ACTIVE = "_active"
+
+# Single-task scatter budget (the third strategy, r6 — see pagerank.py):
+# when the whole undirected routing table fits one task's memory, the
+# entire min-propagation loop runs executor-side inside one mapInPandas
+# task. Pure integer/rank arithmetic — the result is EXACTLY the min
+# original id per component, no float involved. ~56 bytes/row (two int64
+# key columns + the string id column + index vectors).
+DEFAULT_SINGLE_TASK_BUDGET = 256 << 20
+_SINGLE_TASK_ROW_BYTES = 56
+
+
+def _single_task_cc(und_keys: DataFrame, max_iterations: int, numeric_ids: bool):
+    """(id, component, _iters, _conv) — the whole fixpoint in one task.
+
+    Ranks the vertex set by the SAME comparison order the distributed
+    path minimizes over (string order, or numeric order under
+    ``numeric_ids``), min-propagates ranks to fixpoint with a sorted
+    reduceat (no per-row Python), and decodes ranks back to original ids
+    — including the numeric path's long→string normalization, so the
+    output is bit-identical to the distributed result.
+    """
+
+    def run(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        chunks = [c for c in pdfs]
+        if not chunks:
+            return
+        s = np.concatenate([c["s"].to_numpy() for c in chunks])
+        d = np.concatenate([c["d"].to_numpy() for c in chunks])
+        s_str = np.concatenate([c["s_str"].to_numpy() for c in chunks])
+        ids, first = np.unique(s, return_index=True)
+        si = np.searchsorted(ids, s)
+        di = np.searchsorted(ids, d)
+        n = len(ids)
+        strs = s_str[first]
+        if numeric_ids:
+            keyorder = np.argsort(strs.astype(np.int64), kind="stable")
+        else:
+            keyorder = np.argsort(strs.astype(object), kind="stable")
+        rank = np.empty(n, dtype=np.int64)
+        rank[keyorder] = np.arange(n)
+        # group the gather side once; per superstep one reduceat min
+        order = np.argsort(di, kind="stable")
+        di_sorted = di[order]
+        si_sorted = si[order]
+        starts = np.flatnonzero(np.r_[True, di_sorted[1:] != di_sorted[:-1]])
+        groups = di_sorted[starts]
+        comp = rank.copy()
+        done, conv = 0, False
+        for _ in range(max_iterations):
+            msgs = np.minimum.reduceat(comp[si_sorted], starts)
+            new = comp.copy()
+            new[groups] = np.minimum(new[groups], msgs)
+            done += 1
+            if np.array_equal(new, comp):
+                conv = True  # the observed changed==0 superstep
+                break
+            comp = new
+        sorted_strs = strs[keyorder]
+        out_comp = sorted_strs[comp]
+        if numeric_ids:
+            # same normalization as the distributed cast chain
+            # (string → long → string)
+            out_comp = out_comp.astype(np.int64).astype(str).astype(object)
+        yield pd.DataFrame(
+            {
+                "id": strs,
+                "component": out_comp,
+                "_iters": np.full(n, done, dtype=np.int32),
+                "_conv": np.full(n, conv),
+            }
+        )
+
+    return und_keys.coalesce(1).mapInPandas(
+        run, "id string, component string, _iters int, _conv boolean"
+    )
 
 
 def connected_components(
@@ -64,6 +145,7 @@ def connected_components(
     broadcast_threshold_vertices: int | None = None,
     broadcast_state_budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET,
     superstep_batch: int = 0,
+    single_task_budget_bytes: int = DEFAULT_SINGLE_TASK_BUDGET,
     prepared=None,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
@@ -108,18 +190,67 @@ def connected_components(
     else:
         edges = normalize_edges(edges)
         spark = edges.sparkSession
-        # one pass over the DIRECTED edges (out+in ≡ the undirected
-        # groupBy): vertex table + degrees (for sizing and, on the salted
-        # path, the split fan-out) without materializing a serialized
-        # cache of the 2|E| expansion just to aggregate it (guide §5)
+        # one probe job over the DIRECTED edges: routing-table row count,
+        # vertex count and the xxhash64 injectivity check (the single-task
+        # tier matches vertices via the hash)
+        probe = (
+            edges.select(F.explode(F.array("src", "dst")).alias("tag"))
+            .agg(
+                F.count("*").alias("er"),
+                F.countDistinct("tag").alias("nt"),
+                F.countDistinct(F.xxhash64("tag")).alias("ht"),
+            )
+            .first()
+        )
+        n, e_rows = int(probe["nt"]), int(probe["er"])
+
+        if (
+            runner is None  # callers that pass a runner want per-superstep metrics
+            and broadcast_threshold_vertices is None
+            and probe["nt"] == probe["ht"]
+            and single_task_budget_bytes
+            and e_rows * _SINGLE_TASK_ROW_BYTES <= single_task_budget_bytes
+        ):
+            # third scatter strategy (see _single_task_cc / pagerank.py)
+            runner = SuperstepRunner(spark)
+            t0 = time.time()
+            und_keys = edges.select(
+                F.xxhash64("src").alias("s"),
+                F.xxhash64("dst").alias("d"),
+                F.col("src").alias("s_str"),
+            ).unionByName(
+                edges.select(
+                    F.xxhash64("dst").alias("s"),
+                    F.xxhash64("src").alias("d"),
+                    F.col("dst").alias("s_str"),
+                )
+            )
+            out = _single_task_cc(und_keys, max_iterations, numeric_ids).localCheckpoint(
+                eager=True
+            )
+            meta = out.select(
+                F.max("_iters").alias("i"), F.max(F.col("_conv").cast("int")).alias("c")
+            ).first()
+            runner.metrics.append(
+                SuperstepMetrics(
+                    superstep=int(meta["i"]),
+                    rows=n,
+                    changed=0 if meta["c"] else None,
+                    wall_sec=time.time() - t0,
+                )
+            )
+            runner.converged = bool(meta["c"])
+            return out.select("id", "component")
+
+        # vertex table + degrees (for sizing and, on the salted path, the
+        # split fan-out) without materializing a serialized cache of the
+        # 2|E| expansion just to aggregate it (guide §5)
         deg_str = (
             edges.select(F.explode(F.array("src", "dst")).alias("tag"))
             .groupBy("tag")
             .agg(F.count("*").cast("long").alias("degree"))
             .localCheckpoint(eager=True)
         )
-        row = deg_str.agg(F.count("*").alias("n"), F.sum("degree").alias("er")).first()
-        n, e_rows = int(row["n"]), int(row["er"] or 0)
         init = deg_str.select(
             "tag", F.col("tag").cast(comp_t).alias("component"), F.lit(True).alias(ACTIVE)
         )

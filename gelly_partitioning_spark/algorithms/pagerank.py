@@ -28,6 +28,8 @@ both paths; ``use_long_ids=False`` forces the string path.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..encoding import IdCollisionError, decode, encode_split_graph
@@ -36,6 +38,7 @@ from ..splitting import split_graph
 from ..superstep import (
     CHANGED,
     DEFAULT_BROADCAST_STATE_BUDGET,
+    SuperstepMetrics,
     SuperstepRunner,
     checkpoint_static,
     checkpoint_static_sized,
@@ -43,6 +46,79 @@ from ..superstep import (
     fits_broadcast_budget,
     static_scan_partitions,
 )
+
+
+# Single-task scatter budget (the third strategy, r6): when the whole
+# undirected routing table fits comfortably in ONE task's memory, the
+# entire superstep loop runs executor-side inside one mapInPandas task —
+# Arrow-batched in, vectorized numpy power iteration, one result batch
+# out. No driver collect, no per-superstep jobs. ~48 bytes/row of numpy
+# working set (two int64 key columns + index/rank vectors), so the
+# default admits ~5M undirected rows. 0 disables the tier.
+DEFAULT_SINGLE_TASK_BUDGET = 256 << 20
+_SINGLE_TASK_ROW_BYTES = 48
+
+
+def _single_task_pagerank(
+    und_keys: DataFrame,
+    damping: float,
+    tol: float,
+    max_iterations: int,
+    fixed_iterations: int | None,
+) -> DataFrame:
+    """(tag, rank, _iters, _conv) — the whole power iteration in one task.
+
+    Semantics are token-identical to the distributed superstep (same
+    r_{k+1} = (1-d)/n + d·Σ r_k/deg over the undirected multiset, same
+    per-superstep L∞ ≤ tol stop observed EVERY iteration — i.e. the
+    superstep_batch=1 trajectory, no batch overshoot); float64 sums run
+    in numpy's order instead of Spark's partial-agg order, which was
+    never deterministic to begin with and is absorbed by the engine-wide
+    dec6 output convention (measured max |Δrank| vs the distributed path
+    at sf0.1: ~1e-18).
+    """
+
+    def run(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        chunks = [c for c in pdfs]
+        if not chunks:
+            return
+        s = np.concatenate([c["s"].to_numpy() for c in chunks])
+        d = np.concatenate([c["d"].to_numpy() for c in chunks])
+        s_str = np.concatenate([c["s_str"].to_numpy() for c in chunks])
+        # every vertex appears on the s side of the undirected expansion,
+        # so unique(s) IS the vertex set and first-occurrence indices
+        # recover each vertex's original string id — no decode join
+        ids, first = np.unique(s, return_index=True)
+        si = np.searchsorted(ids, s)
+        di = np.searchsorted(ids, d)
+        n = len(ids)
+        deg = np.bincount(si, minlength=n).astype(np.float64)
+        r = np.full(n, 1.0 / n)
+        base = (1.0 - damping) / n
+        iters = fixed_iterations if fixed_iterations is not None else max_iterations
+        done, conv = 0, False
+        for _ in range(iters):
+            r2 = base + damping * np.bincount(di, weights=(r / deg)[si], minlength=n)
+            done += 1
+            if fixed_iterations is None and np.abs(r2 - r).max() <= tol:
+                r, conv = r2, True
+                break
+            r = r2
+        yield pd.DataFrame(
+            {
+                "id": s_str[first],
+                "rank": r,
+                "_iters": np.full(n, done, dtype=np.int32),
+                "_conv": np.full(n, conv),
+            }
+        )
+
+    return und_keys.coalesce(1).mapInPandas(
+        run, "id string, rank double, _iters int, _conv boolean"
+    )
 
 
 def _self_rows(deg: DataFrame) -> DataFrame:
@@ -72,6 +148,7 @@ def pagerank(
     broadcast_threshold_vertices: int | None = None,
     broadcast_state_budget_bytes: int = DEFAULT_BROADCAST_STATE_BUDGET,
     superstep_batch: int = 1,
+    single_task_budget_bytes: int = DEFAULT_SINGLE_TASK_BUDGET,
     prepared=None,
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
@@ -122,6 +199,65 @@ def pagerank(
         edges = normalize_edges(edges)
         spark = edges.sparkSession
 
+        # one probe job over the DIRECTED edges: routing-table row count
+        # (out+in ≡ the undirected expansion), vertex count, and the
+        # tag-level xxhash64 injectivity check — feeds the scatter-
+        # strategy decision AND replaces the r5 per-structure aggs
+        probe = (
+            edges.select(F.explode(F.array("src", "dst")).alias("tag"))
+            .agg(
+                F.count("*").alias("er"),
+                F.countDistinct("tag").alias("nt"),
+                F.countDistinct(F.xxhash64("tag")).alias("ht"),
+            )
+            .first()
+        )
+        n, e_rows = int(probe["nt"]), int(probe["er"])
+        tags_injective = probe["nt"] == probe["ht"]
+
+        if (
+            use_long_ids
+            and tags_injective
+            and broadcast_threshold_vertices is None
+            and (runner is None or runner.checkpoint_dir is None)
+            and single_task_budget_bytes
+            and e_rows * _SINGLE_TASK_ROW_BYTES <= single_task_budget_bytes
+        ):
+            # third scatter strategy: the whole loop inside ONE task (see
+            # _single_task_pagerank). Skipped when the caller pinned a
+            # strategy (broadcast_threshold_vertices), wants resumable
+            # checkpoints, forced the string path, or the table is too
+            # big for one task's memory.
+            runner = runner or SuperstepRunner(spark)
+            t0 = time.time()
+            und_keys = edges.select(
+                F.xxhash64("src").alias("s"),
+                F.xxhash64("dst").alias("d"),
+                F.col("src").alias("s_str"),
+            ).unionByName(
+                edges.select(
+                    F.xxhash64("dst").alias("s"),
+                    F.xxhash64("src").alias("d"),
+                    F.col("dst").alias("s_str"),
+                )
+            )
+            out = _single_task_pagerank(
+                und_keys, damping, tol, max_iterations, fixed_iterations
+            ).localCheckpoint(eager=True)
+            meta = out.select(
+                F.max("_iters").alias("i"), F.max(F.col("_conv").cast("int")).alias("c")
+            ).first()
+            runner.metrics.append(
+                SuperstepMetrics(
+                    superstep=int(meta["i"]),
+                    rows=n,
+                    changed=0 if meta["c"] else None,
+                    wall_sec=time.time() - t0,
+                )
+            )
+            runner.converged = bool(meta["c"])
+            return out.select("id", "rank")
+
         # Undirected degree per ORIGINAL vertex (= per tag), aggregated
         # from the DIRECTED edges (out+in ≡ the undirected groupBy): one
         # pass, shared by the broadcast fast path, the split fan-out and
@@ -134,20 +270,14 @@ def pagerank(
             .agg(F.count("*").cast("double").alias("deg"))
             .localCheckpoint(eager=True)
         )
-        row = deg_str.agg(F.count("*").alias("n"), F.sum("deg").alias("er")).first()
-        n, e_rows = int(row["n"]), int(row["er"] or 0)
 
         tag_dict = None
-        if use_long_ids:
-            # tag-level injectivity check on the (already distinct) tag
-            # table — vertex-sized, not edge-sized. The salted path below
-            # additionally re-checks sub-vertex ids via encode_split_graph.
-            c = deg_str.agg(
-                F.count("*").alias("tags"),
-                F.countDistinct(F.xxhash64("tag")).alias("htags"),
-            ).first()
-            if c["tags"] != c["htags"]:
-                use_long_ids = False
+        if use_long_ids and not tags_injective:
+            # hash ids collide on this vertex set: fall back to the exact
+            # string path (checked above in the probe job; the salted path
+            # below additionally re-checks sub-vertex ids via
+            # encode_split_graph)
+            use_long_ids = False
         if use_long_ids:
             tag_dict = deg_str.select(
                 F.xxhash64("tag").alias("tag"), F.col("tag").alias("tag_str")

@@ -199,16 +199,21 @@ def test_pagerank_auto_batch_matches_unbatched(spark, hub_graph):
     from gelly_partitioning_spark import pagerank
     from gelly_partitioning_spark.superstep import SuperstepRunner
 
+    # single_task_budget_bytes=0: this test exercises the AUTO-batched
+    # superstep loop, which the r6 single-task tier would bypass entirely
+    # on a graph this small
     want = {
         r["id"]: r["rank"]
-        for r in pagerank(hub_graph, fixed_iterations=8, threshold=2).collect()
+        for r in pagerank(
+            hub_graph, fixed_iterations=8, threshold=2, single_task_budget_bytes=0
+        ).collect()
     }
     r = SuperstepRunner(spark)
     got = {
         r2["id"]: r2["rank"]
         for r2 in pagerank(
             hub_graph, fixed_iterations=8, threshold=2, superstep_batch=0,
-            runner=r,
+            runner=r, single_task_budget_bytes=0,
         ).collect()
     }
     assert got == want

@@ -103,6 +103,66 @@ def test_cc_broadcast_equals_salted(spark, cc_graph):
     assert fast == salted
 
 
+def test_pagerank_single_task_matches_distributed(spark, hub_graph):
+    # the r6 single-task tier (engaged by default on tiny graphs) vs the
+    # distributed loop (tier disabled): identical to float noise, same
+    # fixed-iteration trajectory
+    from gelly_partitioning_spark import pagerank
+
+    local = {
+        r["id"]: r["rank"]
+        for r in pagerank(hub_graph, fixed_iterations=12, threshold=2).collect()
+    }
+    dist = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            hub_graph, fixed_iterations=12, threshold=2, single_task_budget_bytes=0
+        ).collect()
+    }
+    assert set(local) == set(dist)
+    for v in local:
+        assert abs(local[v] - dist[v]) < 1e-12, v
+
+
+def test_cc_single_task_matches_distributed(spark, cc_graph):
+    from gelly_partitioning_spark import connected_components
+
+    local = {
+        r["id"]: r["component"]
+        for r in connected_components(cc_graph, threshold=2).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            cc_graph, threshold=2, single_task_budget_bytes=0
+        ).collect()
+    }
+    assert local == dist
+
+
+@pytest.mark.parametrize("numeric", [False, True])
+def test_cc_single_task_numeric_ids(spark, numeric):
+    # numeric order and lexicographic order disagree on these ids
+    # (min(7,10,3) = 3 numerically; min("10","3","7") = "10" as strings),
+    # so this pins the tier's order-rank construction for both flavors
+    from gelly_partitioning_spark import connected_components, from_pairs
+
+    g = from_pairs(spark, [(10, 7), (7, 3), (100, 20)])
+    local = {
+        r["id"]: r["component"]
+        for r in connected_components(g, split=False, numeric_ids=numeric).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            g, split=False, numeric_ids=numeric, single_task_budget_bytes=0
+        ).collect()
+    }
+    assert local == dist
+    assert local["7"] == ("3" if numeric else "10")
+    assert local["100"] == ("20" if numeric else "100")
+
+
 def test_cc_auto_batching_matches_unbatched(spark, cc_graph):
     from gelly_partitioning_spark import connected_components
 

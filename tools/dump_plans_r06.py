@@ -79,17 +79,40 @@ from gelly_partitioning_spark import connected_components, pagerank  # noqa: E40
 
 edges = entry.ps_edges(spark, sf_dir).cache()
 edges.count()
+
+
+def _call_distributed(fn, **kw):
+    # the r6 tree takes single_task_budget_bytes=0 to pin the distributed
+    # superstep loop (so the captured plan stays the superstep plan of
+    # record); the round-start tree has no such kwarg
+    try:
+        return fn(single_task_budget_bytes=0, **kw)
+    except TypeError:
+        return fn(**kw)
+
+
 capture_step(
     "pagerank_step",
-    lambda: pagerank(
-        edges, tol=1e-6, max_iterations=100, split=True, threshold=256,
-        alpha=2, level=6, superstep_batch=0,
+    lambda: _call_distributed(
+        lambda **k: pagerank(
+            edges, tol=1e-6, max_iterations=100, split=True, threshold=256,
+            alpha=2, level=6, superstep_batch=0, **k,
+        )
     ),
 )
 capture_step(
     "cc_step",
-    lambda: connected_components(edges, threshold=256, max_iterations=60),
+    lambda: _call_distributed(
+        lambda **k: connected_components(edges, threshold=256, max_iterations=60, **k)
+    ),
 )
+
+# the r6 single-task tier's own (one-job) plans — no 'before' counterpart
+try:
+    dump("pagerank_single_task", plan_of(pagerank(edges, fixed_iterations=10, threshold=256)))
+    dump("cc_single_task", plan_of(connected_components(edges, threshold=256)))
+except TypeError:
+    pass
 
 # -- one-shot queries: the query-level plan is the evidence -----------------
 dump("triangle_count", plan_of(entry._q_triangle(spark, sf_dir)))
