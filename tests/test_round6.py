@@ -175,3 +175,25 @@ def test_cc_auto_batching_matches_unbatched(spark, cc_graph):
         for r in connected_components(cc_graph, threshold=2, superstep_batch=1).collect()
     }
     assert batched == unbatched
+
+
+def test_degree_single_task_matches_distributed(spark, hub_graph):
+    # the r6 single-task tier for degree_count (exact value_counts in one
+    # task) vs the split pipeline (tier disabled): identical rows — and
+    # the distributed path itself now builds its fan-out from ONE shared
+    # degree aggregation (both BroadcastExchanges read the lazily
+    # checkpointed table) with an uncached single-consumer undirected
+    # expansion
+    from gelly_partitioning_spark import degree_count
+
+    local = {
+        (r["id"], r["degree"])
+        for r in degree_count(hub_graph, threshold=2).collect()
+    }
+    dist = {
+        (r["id"], r["degree"])
+        for r in degree_count(
+            hub_graph, threshold=2, single_task_budget_bytes=0
+        ).collect()
+    }
+    assert local == dist

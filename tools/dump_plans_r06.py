@@ -108,9 +108,12 @@ capture_step(
 )
 
 # the r6 single-task tier's own (one-job) plans — no 'before' counterpart
+from gelly_partitioning_spark import degree_count  # noqa: E402
+
 try:
     dump("pagerank_single_task", plan_of(pagerank(edges, fixed_iterations=10, threshold=256)))
     dump("cc_single_task", plan_of(connected_components(edges, threshold=256)))
+    dump("degree_single_task", plan_of(entry._q_degree(spark, sf_dir)))
 except TypeError:
     pass
 
@@ -118,5 +121,18 @@ except TypeError:
 dump("triangle_count", plan_of(entry._q_triangle(spark, sf_dir)))
 dump("minhash_lsh", plan_of(entry._q_minhash(spark, sf_dir)))
 dump("jaccard", plan_of(entry._q_jaccard(spark, sf_dir)))
-dump("degree_count", plan_of(entry._q_degree(spark, sf_dir)))
+# the distributed (>budget) degree path, same entry args/input as the
+# before-file so the pair is comparable — the r6 fan-out fix shows as the
+# two BroadcastExchange aggregation subtrees collapsing into one shared
+# ExistingRDD scan
+dump(
+    "degree_count",
+    plan_of(
+        _call_distributed(
+            lambda **k: degree_count(
+                entry.ps_edges(spark, sf_dir), threshold=64, alpha=2, level=6, **k
+            )
+        )
+    ),
+)
 spark.stop()
