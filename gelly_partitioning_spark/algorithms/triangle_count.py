@@ -26,6 +26,87 @@ from ..superstep import (
     session_broadcast_threshold,
 )
 
+# Single-task budget (the same fourth rung pagerank/cc/degree got in r6):
+# when the hashed canonical edge set AND the n²/8-byte adjacency bitmap
+# both fit one task's memory, the orientation + wedge enumeration + close
+# run as vectorized numpy inside one mapInPandas task — the 41M-wedge
+# sf0.1 count drops from ~5 s of JVM join codegen to ~0.5 s (length-
+# bucketed triu_indices pair gather + one bitmap probe per wedge).
+# ~48 bytes/edge of working set; 0 disables the tier.
+DEFAULT_SINGLE_TASK_BUDGET = 256 << 20
+_SINGLE_TASK_EDGE_BYTES = 48
+
+
+def _single_task_triangle(canon_keys: DataFrame) -> DataFrame:
+    """One-row (triangles: long) — the whole count in one task.
+
+    Input: the id-canonical DISTINCT simple edge set, xxhash64-keyed
+    (s, d). Semantics are identical to the distributed wedge/close join:
+    orient low→high by (degree, id-in-hash-space) rank — the count is
+    invariant to WHICH total order is used, it only needs some
+    orientation — enumerate each triangle's unique wedge at its
+    lowest-ranked vertex, and close against the edge set. Pure integer
+    work, exact count.
+
+    Max out-degree after degree-orientation is ≤ √(2m) (a vertex keeping
+    t out-edges has t neighbors of degree ≥ t, so Σdeg ≥ t²), hence one
+    group's pair template is ≤ m pairs — no blowup; generation is still
+    chunked to bound peak memory.
+    """
+
+    def run(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        chunks = [c for c in pdfs]
+        one = lambda k: pd.DataFrame({"triangles": np.array([k], dtype=np.int64)})
+        if not chunks:
+            yield one(0)
+            return
+        s = np.concatenate([c["s"].to_numpy() for c in chunks])
+        d = np.concatenate([c["d"].to_numpy() for c in chunks])
+        ids, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+        n = len(ids)
+        si, di = inv[: len(s)].astype(np.int32), inv[len(s) :].astype(np.int32)
+        deg = np.bincount(inv, minlength=n)
+        order = np.lexsort((np.arange(n), deg))
+        rank = np.empty(n, dtype=np.int32)
+        rank[order] = np.arange(n, dtype=np.int32)
+        rs, rd = rank[si], rank[di]
+        lo = np.minimum(rs, rd)
+        hi = np.maximum(rs, rd)
+        eorder = np.lexsort((hi, lo))
+        lo, hi = lo[eorder], hi[eorder]
+        m = len(lo)
+        # adjacency bitmap: bit (u, v) set iff oriented edge u→v exists
+        stride = (n + 7) >> 3
+        bits = np.zeros(n * stride, dtype=np.uint8)
+        np.bitwise_or.at(
+            bits,
+            lo.astype(np.int64) * stride + (hi >> 3),
+            (1 << (hi & 7)).astype(np.uint8),
+        )
+        starts = np.flatnonzero(np.r_[True, lo[1:] != lo[:-1]]).astype(np.int64)
+        glen = (np.r_[starts[1:], m] - starts).astype(np.int64)
+        total = 0
+        CHUNK = 16_000_000
+        for g in np.unique(glen):
+            if g < 2:
+                continue
+            sg = starts[glen == g]
+            ti, tj = (a.astype(np.int64) for a in np.triu_indices(int(g), 1))
+            per_group = len(ti)
+            step = max(1, CHUNK // per_group)
+            for i in range(0, len(sg), step):
+                sgc = sg[i : i + step]
+                wa = hi[(sgc[:, None] + ti[None, :])].ravel()
+                wb = hi[(sgc[:, None] + tj[None, :])].ravel()
+                byte = bits[wa.astype(np.int64) * stride + (wb >> 3)]
+                total += int(((byte >> (wb & 7).astype(np.uint8)) & 1).sum())
+        yield one(total)
+
+    return canon_keys.coalesce(1).mapInPandas(run, "triangles long")
+
 
 def oriented_edges(edges: DataFrame, already_canonical: bool = False) -> DataFrame:
     """Canonical simple edges re-oriented low→high by (degree, id).
@@ -69,7 +150,11 @@ def oriented_edges(edges: DataFrame, already_canonical: bool = False) -> DataFra
     )
 
 
-def triangle_count(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    assume_canonical: bool = False,
+    single_task_budget_bytes: int = DEFAULT_SINGLE_TASK_BUDGET,
+) -> DataFrame:
     """Single-row DataFrame (triangles: long) — global triangle count.
 
     ``assume_canonical=True``: the caller guarantees ``edges`` is already
@@ -103,6 +188,16 @@ def triangle_count(edges: DataFrame, assume_canonical: bool = False) -> DataFram
         canon = canon.select(
             F.least(hs, hd).alias("src"), F.greatest(hs, hd).alias("dst")
         )
+        if single_task_budget_bytes:
+            n_e, n_v = canon.count(), int(c["ids"])
+            est = n_e * _SINGLE_TASK_EDGE_BYTES + (n_v * n_v) // 8
+            if n_e > 0 and est <= single_task_budget_bytes:
+                # fourth rung (see _single_task_triangle): the whole
+                # orient/wedge/close inside one task. >budget graphs (the
+                # bitmap is quadratic in |V|) continue below unchanged.
+                return _single_task_triangle(
+                    canon.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+                )
     o = oriented_edges(canon, already_canonical=True).localCheckpoint(eager=True)
     # The wedge table (Σ C(outdeg, 2) rows) is the LARGEST relation in
     # this query — orders of magnitude bigger than the edge set. When the

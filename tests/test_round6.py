@@ -197,3 +197,21 @@ def test_degree_single_task_matches_distributed(spark, hub_graph):
         ).collect()
     }
     assert local == dist
+
+
+def test_triangle_single_task_matches_distributed(spark, tri_graph):
+    # the r6 single-task tier for triangle_count (numpy orient/wedge/
+    # bitmap-close in one task) vs the distributed wedge/close joins
+    # (tier disabled): identical exact count — including with duplicate /
+    # reversed / self-loop raw edges, which normalize away upstream
+    from gelly_partitioning_spark import from_pairs, triangle_count
+
+    for g in (
+        tri_graph,
+        from_pairs(spark, [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1), (3, 3), (2, 3)]),
+    ):
+        tier = triangle_count(g).collect()[0]["triangles"]
+        dist = triangle_count(g, single_task_budget_bytes=0).collect()[0][
+            "triangles"
+        ]
+        assert tier == dist

@@ -114,11 +114,25 @@ try:
     dump("pagerank_single_task", plan_of(pagerank(edges, fixed_iterations=10, threshold=256)))
     dump("cc_single_task", plan_of(connected_components(edges, threshold=256)))
     dump("degree_single_task", plan_of(entry._q_degree(spark, sf_dir)))
+    dump("triangle_single_task", plan_of(entry._q_triangle(spark, sf_dir)))
 except TypeError:
     pass
 
 # -- one-shot queries: the query-level plan is the evidence -----------------
-dump("triangle_count", plan_of(entry._q_triangle(spark, sf_dir)))
+# triangle: the distributed (>budget) wedge/close plan, same entry input
+# as the before-file so the pair stays comparable
+from gelly_partitioning_spark import triangle_count  # noqa: E402
+
+dump(
+    "triangle_count",
+    plan_of(
+        _call_distributed(
+            lambda **k: triangle_count(
+                entry.cooc_edges(spark, sf_dir), assume_canonical=True, **k
+            )
+        )
+    ),
+)
 dump("minhash_lsh", plan_of(entry._q_minhash(spark, sf_dir)))
 dump("jaccard", plan_of(entry._q_jaccard(spark, sf_dir)))
 # the distributed (>budget) degree path, same entry args/input as the
