@@ -42,6 +42,7 @@ from ..graph import normalize_edges, undirected
 from ..splitting import split_graph
 from ..superstep import (
     CHANGED,
+    COLLISION_MARKER,
     DEFAULT_BROADCAST_STATE_BUDGET,
     SuperstepMetrics,
     SuperstepRunner,
@@ -49,6 +50,7 @@ from ..superstep import (
     checkpoint_static_sized,
     data_fingerprint,
     fits_broadcast_budget,
+    plan_size_hint_bytes,
     static_scan_partitions,
 )
 
@@ -90,6 +92,12 @@ def _single_task_cc(und_keys: DataFrame, max_iterations: int, numeric_ids: bool)
         di = np.searchsorted(ids, d)
         n = len(ids)
         strs = s_str[first]
+        # exact in-task injectivity check (see superstep.COLLISION_MARKER):
+        # a collision = some row's string disagrees with its hash's
+        # representative; the driver catches the marker and falls back to
+        # the probed distributed paths
+        if not (s_str == strs[si]).all():
+            raise ValueError(COLLISION_MARKER)
         if numeric_ids:
             keyorder = np.argsort(strs.astype(np.int64), kind="stable")
         else:
@@ -190,57 +198,78 @@ def connected_components(
     else:
         edges = normalize_edges(edges)
         spark = edges.sparkSession
-        # one probe job over the DIRECTED edges: routing-table row count,
-        # vertex count and the xxhash64 injectivity check (the single-task
-        # tier matches vertices via the hash)
+
+        if (
+            runner is None  # callers that pass a runner want per-superstep metrics
+            and broadcast_threshold_vertices is None
+            and single_task_budget_bytes
+        ):
+            # third scatter strategy (see _single_task_cc / pagerank.py).
+            # Gated on a bare count — the xxhash64 injectivity check runs
+            # vectorized INSIDE the task (the r6.0 driver-side
+            # countDistinct probe cost ~1 s at sf0.1; guide §1.2); a
+            # collision surfaces as the marker and falls through to the
+            # probed distributed paths below. The jobless Catalyst-stats
+            # hint skips the tier AND its count for obviously-oversized
+            # inputs (at scale that count is a full scan).
+            hint = plan_size_hint_bytes(edges)
+            e_rows = (
+                0
+                if hint is not None and hint > 8 * single_task_budget_bytes
+                else 2 * edges.count()
+            )
+            if 0 < e_rows * _SINGLE_TASK_ROW_BYTES <= single_task_budget_bytes:
+                t0 = time.time()
+                und_keys = edges.select(
+                    F.xxhash64("src").alias("s"),
+                    F.xxhash64("dst").alias("d"),
+                    F.col("src").alias("s_str"),
+                ).unionByName(
+                    edges.select(
+                        F.xxhash64("dst").alias("s"),
+                        F.xxhash64("src").alias("d"),
+                        F.col("dst").alias("s_str"),
+                    )
+                )
+                try:
+                    out = _single_task_cc(
+                        und_keys, max_iterations, numeric_ids
+                    ).localCheckpoint(eager=True)
+                    meta = out.select(
+                        F.max("_iters").alias("i"),
+                        F.max(F.col("_conv").cast("int")).alias("c"),
+                        F.count("*").alias("n"),
+                    ).first()
+                except Exception as exc:  # noqa: BLE001 — marker-matched
+                    if COLLISION_MARKER not in str(exc):
+                        raise
+                else:
+                    runner = SuperstepRunner(spark)
+                    runner.metrics.append(
+                        SuperstepMetrics(
+                            superstep=int(meta["i"]),
+                            rows=int(meta["n"]),
+                            changed=0 if meta["c"] else None,
+                            wall_sec=time.time() - t0,
+                        )
+                    )
+                    runner.converged = bool(meta["c"])
+                    return out.select("id", "component")
+
+        # one probe job over the DIRECTED edges: routing-table row count
+        # and vertex count (feeds the broadcast-vs-salted decision; CC's
+        # distributed paths never hash-key vertices — min-id semantics
+        # live on original ids — so no injectivity column is needed here
+        # since the in-task tier check above took that role)
         probe = (
             edges.select(F.explode(F.array("src", "dst")).alias("tag"))
             .agg(
                 F.count("*").alias("er"),
                 F.countDistinct("tag").alias("nt"),
-                F.countDistinct(F.xxhash64("tag")).alias("ht"),
             )
             .first()
         )
         n, e_rows = int(probe["nt"]), int(probe["er"])
-
-        if (
-            runner is None  # callers that pass a runner want per-superstep metrics
-            and broadcast_threshold_vertices is None
-            and probe["nt"] == probe["ht"]
-            and single_task_budget_bytes
-            and e_rows * _SINGLE_TASK_ROW_BYTES <= single_task_budget_bytes
-        ):
-            # third scatter strategy (see _single_task_cc / pagerank.py)
-            runner = SuperstepRunner(spark)
-            t0 = time.time()
-            und_keys = edges.select(
-                F.xxhash64("src").alias("s"),
-                F.xxhash64("dst").alias("d"),
-                F.col("src").alias("s_str"),
-            ).unionByName(
-                edges.select(
-                    F.xxhash64("dst").alias("s"),
-                    F.xxhash64("src").alias("d"),
-                    F.col("dst").alias("s_str"),
-                )
-            )
-            out = _single_task_cc(und_keys, max_iterations, numeric_ids).localCheckpoint(
-                eager=True
-            )
-            meta = out.select(
-                F.max("_iters").alias("i"), F.max(F.col("_conv").cast("int")).alias("c")
-            ).first()
-            runner.metrics.append(
-                SuperstepMetrics(
-                    superstep=int(meta["i"]),
-                    rows=n,
-                    changed=0 if meta["c"] else None,
-                    wall_sec=time.time() - t0,
-                )
-            )
-            runner.converged = bool(meta["c"])
-            return out.select("id", "component")
 
         # vertex table + degrees (for sizing and, on the salted path, the
         # split fan-out) without materializing a serialized cache of the

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..graph import degrees, normalize_edges, undirected
 from ..splitting import merge_by_tag, split_graph
-from ..superstep import checkpoint_static
+from ..superstep import checkpoint_static, plan_size_hint_bytes
 
 # Single-task budget (the same fourth rung pagerank/cc/triangle got in
 # r6): when the exploded endpoint column fits one task's memory, the
@@ -83,9 +83,17 @@ def degree_count(
     if single_task_budget_bytes:
         # one cheap probe job (count on the — usually cached — edge set);
         # the split/distributed pipeline below is the >budget path, same
-        # tiering as pagerank/cc (physical strategy only, identical rows)
-        e_rows = edges.count()
-        if 2 * e_rows * _SINGLE_TASK_ROW_BYTES <= single_task_budget_bytes:
+        # tiering as pagerank/cc (physical strategy only, identical
+        # rows). The jobless Catalyst-stats hint skips the tier AND its
+        # count for obviously-oversized inputs (at scale that count is a
+        # full scan).
+        hint = plan_size_hint_bytes(edges)
+        e_rows = (
+            0
+            if hint is not None and hint > 8 * single_task_budget_bytes
+            else edges.count()
+        )
+        if 0 < 2 * e_rows * _SINGLE_TASK_ROW_BYTES <= single_task_budget_bytes:
             return _single_task_degree(edges)
     if not split:
         return degrees(edges)

@@ -37,6 +37,7 @@ from ..graph import normalize_edges, undirected
 from ..splitting import split_graph
 from ..superstep import (
     CHANGED,
+    COLLISION_MARKER,
     DEFAULT_BROADCAST_STATE_BUDGET,
     SuperstepMetrics,
     SuperstepRunner,
@@ -44,6 +45,7 @@ from ..superstep import (
     checkpoint_static_sized,
     data_fingerprint,
     fits_broadcast_budget,
+    plan_size_hint_bytes,
     static_scan_partitions,
 )
 
@@ -57,6 +59,7 @@ from ..superstep import (
 # default admits ~5M undirected rows. 0 disables the tier.
 DEFAULT_SINGLE_TASK_BUDGET = 256 << 20
 _SINGLE_TASK_ROW_BYTES = 48
+_COLLISION_MARKER = COLLISION_MARKER  # see superstep.py
 
 
 def _single_task_pagerank(
@@ -95,6 +98,14 @@ def _single_task_pagerank(
         si = np.searchsorted(ids, s)
         di = np.searchsorted(ids, d)
         n = len(ids)
+        strs = s_str[first]
+        # exact injectivity check, in-task (replaces the r6.0 driver-side
+        # countDistinct probe job — guide §1.2): a collision means two
+        # DIFFERENT original ids share a hash, i.e. some row's string
+        # disagrees with its hash's representative. The driver catches
+        # the marker and falls back to the probed distributed paths.
+        if not (s_str == strs[si]).all():
+            raise ValueError(_COLLISION_MARKER)
         deg = np.bincount(si, minlength=n).astype(np.float64)
         r = np.full(n, 1.0 / n)
         base = (1.0 - damping) / n
@@ -109,7 +120,7 @@ def _single_task_pagerank(
             r = r2
         yield pd.DataFrame(
             {
-                "id": s_str[first],
+                "id": strs,
                 "rank": r,
                 "_iters": np.full(n, done, dtype=np.int32),
                 "_conv": np.full(n, conv),
@@ -199,6 +210,68 @@ def pagerank(
         edges = normalize_edges(edges)
         spark = edges.sparkSession
 
+        if (
+            use_long_ids
+            and broadcast_threshold_vertices is None
+            and (runner is None or runner.checkpoint_dir is None)
+            and single_task_budget_bytes
+        ):
+            # third scatter strategy: the whole loop inside ONE task (see
+            # _single_task_pagerank). Skipped when the caller pinned a
+            # strategy (broadcast_threshold_vertices), wants resumable
+            # checkpoints, forced the string path, or the table is too
+            # big for one task's memory. Gated on a bare count — the
+            # injectivity check runs vectorized INSIDE the task (the
+            # r6.0 driver-side countDistinct probe cost ~1 s at sf0.1,
+            # a third of the whole query; guide §1.2) — and a collision
+            # surfaces as the marker, falling through to the probed
+            # distributed paths below. The jobless Catalyst-stats hint
+            # skips the tier AND its count outright when the input is
+            # obviously oversized (at scale that count is a full scan).
+            hint = plan_size_hint_bytes(edges)
+            e_rows = (
+                0
+                if hint is not None and hint > 8 * single_task_budget_bytes
+                else 2 * edges.count()
+            )
+            if 0 < e_rows * _SINGLE_TASK_ROW_BYTES <= single_task_budget_bytes:
+                t0 = time.time()
+                und_keys = edges.select(
+                    F.xxhash64("src").alias("s"),
+                    F.xxhash64("dst").alias("d"),
+                    F.col("src").alias("s_str"),
+                ).unionByName(
+                    edges.select(
+                        F.xxhash64("dst").alias("s"),
+                        F.xxhash64("src").alias("d"),
+                        F.col("dst").alias("s_str"),
+                    )
+                )
+                try:
+                    out = _single_task_pagerank(
+                        und_keys, damping, tol, max_iterations, fixed_iterations
+                    ).localCheckpoint(eager=True)
+                    meta = out.select(
+                        F.max("_iters").alias("i"),
+                        F.max(F.col("_conv").cast("int")).alias("c"),
+                        F.count("*").alias("n"),
+                    ).first()
+                except Exception as exc:  # noqa: BLE001 — marker-matched
+                    if _COLLISION_MARKER not in str(exc):
+                        raise
+                else:
+                    runner = runner or SuperstepRunner(spark)
+                    runner.metrics.append(
+                        SuperstepMetrics(
+                            superstep=int(meta["i"]),
+                            rows=int(meta["n"]),
+                            changed=0 if meta["c"] else None,
+                            wall_sec=time.time() - t0,
+                        )
+                    )
+                    runner.converged = bool(meta["c"])
+                    return out.select("id", "rank")
+
         # one probe job over the DIRECTED edges: routing-table row count
         # (out+in ≡ the undirected expansion), vertex count, and the
         # tag-level xxhash64 injectivity check — feeds the scatter-
@@ -214,49 +287,6 @@ def pagerank(
         )
         n, e_rows = int(probe["nt"]), int(probe["er"])
         tags_injective = probe["nt"] == probe["ht"]
-
-        if (
-            use_long_ids
-            and tags_injective
-            and broadcast_threshold_vertices is None
-            and (runner is None or runner.checkpoint_dir is None)
-            and single_task_budget_bytes
-            and e_rows * _SINGLE_TASK_ROW_BYTES <= single_task_budget_bytes
-        ):
-            # third scatter strategy: the whole loop inside ONE task (see
-            # _single_task_pagerank). Skipped when the caller pinned a
-            # strategy (broadcast_threshold_vertices), wants resumable
-            # checkpoints, forced the string path, or the table is too
-            # big for one task's memory.
-            runner = runner or SuperstepRunner(spark)
-            t0 = time.time()
-            und_keys = edges.select(
-                F.xxhash64("src").alias("s"),
-                F.xxhash64("dst").alias("d"),
-                F.col("src").alias("s_str"),
-            ).unionByName(
-                edges.select(
-                    F.xxhash64("dst").alias("s"),
-                    F.xxhash64("src").alias("d"),
-                    F.col("dst").alias("s_str"),
-                )
-            )
-            out = _single_task_pagerank(
-                und_keys, damping, tol, max_iterations, fixed_iterations
-            ).localCheckpoint(eager=True)
-            meta = out.select(
-                F.max("_iters").alias("i"), F.max(F.col("_conv").cast("int")).alias("c")
-            ).first()
-            runner.metrics.append(
-                SuperstepMetrics(
-                    superstep=int(meta["i"]),
-                    rows=n,
-                    changed=0 if meta["c"] else None,
-                    wall_sec=time.time() - t0,
-                )
-            )
-            runner.converged = bool(meta["c"])
-            return out.select("id", "rank")
 
         # Undirected degree per ORIGINAL vertex (= per tag), aggregated
         # from the DIRECTED edges (out+in ≡ the undirected groupBy): one

@@ -180,7 +180,9 @@ def triangle_count(
     c = canon.select(F.explode(F.array("src", "dst")).alias("id")).agg(
         F.countDistinct("id").alias("ids"),
         F.countDistinct(F.xxhash64("id")).alias("hids"),
+        F.count("*").alias("er"),
     ).first()
+    n_e = int(c["er"]) // 2  # every canonical edge explodes to 2 rows
     if c["ids"] == c["hids"]:
         # re-canonicalize the (distinct) pairs in hash space: least/
         # greatest is a narrow reorientation, no second distinct needed
@@ -189,7 +191,7 @@ def triangle_count(
             F.least(hs, hd).alias("src"), F.greatest(hs, hd).alias("dst")
         )
         if single_task_budget_bytes:
-            n_e, n_v = canon.count(), int(c["ids"])
+            n_v = int(c["ids"])
             est = n_e * _SINGLE_TASK_EDGE_BYTES + (n_v * n_v) // 8
             if n_e > 0 and est <= single_task_budget_bytes:
                 # fourth rung (see _single_task_triangle): the whole
@@ -206,7 +208,6 @@ def triangle_count(
     # pass and never shuffled at all (guide §2.3: shuffle keys/metadata,
     # not the biggest table; §3.1). Above the budget: plain equi-joins,
     # which shuffle wedges — unavoidable when |E| itself is huge.
-    n_e = canon.count()  # cached by the checkpoint — metadata-cheap
     small = fits_broadcast_budget(
         n_e, canon.schema, session_broadcast_threshold(canon.sparkSession)
     )

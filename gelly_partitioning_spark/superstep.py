@@ -44,6 +44,31 @@ CHANGED = "_changed"
 # a 12g driver. Budget in BYTES, estimate row width from the schema.
 DEFAULT_BROADCAST_STATE_BUDGET = 64 << 20  # 64 MiB
 
+def plan_size_hint_bytes(df) -> int | None:
+    """Catalyst's sizeInBytes estimate for the optimized plan — NO job.
+
+    Used as a PRE-gate by the single-task tiers: an input whose estimate
+    is already far above the tier budget skips the tier WITHOUT paying
+    the gate's count job (at scale that count would be a full scan run
+    just to learn the obvious). Estimates can be crude for complex
+    plans, so callers must keep an exact row-count gate behind this —
+    an overestimate merely skips the tier (correct, just distributed),
+    an underestimate is caught by the exact gate.
+    """
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — a hint, never load-bearing
+        return None
+
+
+# Marker string raised by the single-task tiers' IN-TASK xxhash64
+# injectivity check (r6: replaces the driver-side countDistinct probe on
+# the tier path — guide §1.2): the driver matches it in the surfaced job
+# failure and falls back to the probed distributed paths. Collision
+# probability is ~n²/2^65 — the check is for exactness, not likelihood;
+# local[] runs with task maxFailures=1, so a collision costs one task.
+COLLISION_MARKER = "xxhash64 collision on vertex ids"
+
 
 def estimate_row_bytes(schema) -> int:
     """Rough serialized row width: 8 B per fixed-width field, 24 B per

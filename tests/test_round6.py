@@ -215,3 +215,55 @@ def test_triangle_single_task_matches_distributed(spark, tri_graph):
             "triangles"
         ]
         assert tier == dist
+
+
+def test_single_task_collision_marker_falls_back(spark, hub_graph, monkeypatch):
+    # r6.1: the tier's injectivity check moved INSIDE the task (the
+    # driver-side countDistinct probe was a third of the sf0.1 query) —
+    # a surfaced collision marker must fall back to the distributed path
+    import importlib
+
+    from gelly_partitioning_spark.superstep import COLLISION_MARKER
+
+    # the package re-exports the FUNCTION under the same name, so address
+    # the module through importlib
+    prmod = importlib.import_module("gelly_partitioning_spark.algorithms.pagerank")
+
+    def boom(*a, **k):
+        raise ValueError(COLLISION_MARKER)
+
+    baseline = {
+        r["id"]: r["rank"]
+        for r in prmod.pagerank(
+            hub_graph, fixed_iterations=5, threshold=2, single_task_budget_bytes=0
+        ).collect()
+    }
+    monkeypatch.setattr(prmod, "_single_task_pagerank", boom)
+    got = {
+        r["id"]: r["rank"]
+        for r in prmod.pagerank(hub_graph, fixed_iterations=5, threshold=2).collect()
+    }
+    assert got.keys() == baseline.keys()
+    for v in got:
+        assert abs(got[v] - baseline[v]) < 1e-12
+    # a NON-marker error must still surface, not be swallowed
+    def other(*a, **k):
+        raise RuntimeError("unrelated failure")
+
+    monkeypatch.setattr(prmod, "_single_task_pagerank", other)
+    with pytest.raises(RuntimeError, match="unrelated"):
+        prmod.pagerank(hub_graph, fixed_iterations=5, threshold=2)
+
+
+def test_single_task_in_task_collision_check_raises(spark):
+    # craft an inconsistent (hash, string) pairing — two different
+    # strings on the same hash key — and pin that the in-task check
+    # raises the marker (through the surfaced Python exception)
+    from gelly_partitioning_spark.algorithms.pagerank import _single_task_pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2, "a"), (1, 2, "b"), (2, 1, "x"), (2, 1, "x")],
+        "s long, d long, s_str string",
+    )
+    with pytest.raises(Exception, match="xxhash64 collision"):
+        _single_task_pagerank(df, 0.85, 1e-6, 5, None).collect()
