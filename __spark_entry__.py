@@ -40,6 +40,7 @@ from gelly_partitioning_spark import (  # noqa: E402
     pagerank,
     skew_census,
     triangle_count,
+    triangle_count_long_pairs,
 )
 from gelly_partitioning_spark.functions import (  # noqa: E402
     cosine_topk,
@@ -299,12 +300,44 @@ def _q_skew_census(spark, sf_dir):
     return skew_census(ps_edges(spark, sf_dir), threshold=100)
 
 
+def _cooc_raw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-occurrence pair stream BEFORE the global distinct and the
+    string minting: (s, d) long part keys, s < d numerically, one row
+    per per-order pair (cross-order duplicates remain). Feeds the
+    triangle count only — the count depends solely on the distinct
+    UNORDERED pair set, which is identical to cooc_edges' (orientation
+    convention and id spelling cannot change which unordered pairs
+    exist), so the raw stream lets triangle_count_long_pairs dedup
+    in-task instead of paying the distinct Exchange + string mint that
+    the declared cooc_edges schema needs."""
+    li = _lineitem(spark, sf_dir).select(
+        "l_orderkey", F.col("l_partkey").cast("long").alias("pk")
+    )
+    grp = li.groupBy("l_orderkey").agg(F.collect_set("pk").alias("ps"))
+    return grp.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda a: F.filter(
+                        F.transform(
+                            "ps", lambda b: F.struct(a.alias("ka"), b.alias("kb"))
+                        ),
+                        lambda s: s["ka"] < s["kb"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.ka").alias("s"), F.col("p.kb").alias("d"))
+
+
 def _q_triangle(spark, sf_dir):
-    # cooc_edges already emits the id-canonical (src < dst), distinct,
-    # self-loop-free simple edge set — assume_canonical skips the
-    # redundant second distinct shuffle inside triangle_count (identical
-    # count; the oracle is unchanged)
-    return triangle_count(cooc_edges(spark, sf_dir), assume_canonical=True)
+    # the count depends only on the distinct unordered pair set, so the
+    # tier consumes the RAW long-keyed pair stream and dedups in-task
+    # (no distinct Exchange, no string mint, no hash probe); above the
+    # budget triangle_count_long_pairs falls back to the generic
+    # stringified pipeline — identical count, oracle unchanged
+    return triangle_count_long_pairs(_cooc_raw_pairs(spark, sf_dir))
 
 
 def _q_jaccard(spark, sf_dir):

@@ -13,6 +13,7 @@ from .algorithms import (
     pagerank,
     skew_census,
     triangle_count,
+    triangle_count_long_pairs,
 )
 from .graph import (
     canonical_edges,

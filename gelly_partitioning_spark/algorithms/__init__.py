@@ -5,7 +5,7 @@ from .label_propagation import label_propagation
 from .neighborhoods import aggregate_neighborhoods, neighbor_sets
 from .pagerank import pagerank
 from .skew_census import skew_census
-from .triangle_count import triangle_count
+from .triangle_count import triangle_count, triangle_count_long_pairs
 
 __all__ = [
     "connected_components",
@@ -18,4 +18,5 @@ __all__ = [
     "pagerank",
     "skew_census",
     "triangle_count",
+    "triangle_count_long_pairs",
 ]

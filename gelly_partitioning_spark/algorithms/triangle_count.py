@@ -23,35 +23,104 @@ from ..graph import canonical_edges, normalize_edges
 from ..superstep import (
     estimate_row_bytes,
     fits_broadcast_budget,
+    plan_size_hint_bytes,
     session_broadcast_threshold,
 )
 
 # Single-task budget (the same fourth rung pagerank/cc/degree got in r6):
-# when the hashed canonical edge set AND the n²/8-byte adjacency bitmap
-# both fit one task's memory, the orientation + wedge enumeration + close
-# run as vectorized numpy inside one mapInPandas task — the 41M-wedge
-# sf0.1 count drops from ~5 s of JVM join codegen to ~0.5 s (length-
-# bucketed triu_indices pair gather + one bitmap probe per wedge).
-# ~48 bytes/edge of working set; 0 disables the tier.
+# when the edge set fits one task's memory, the orientation + wedge
+# enumeration + close run as vectorized numpy inside one mapInPandas
+# task — the 41M-wedge sf0.1 count drops from ~5 s of JVM join codegen
+# to ~0.5 s (length-bucketed triu_indices pair gather + one bitmap probe
+# per wedge). ~48 bytes/edge of working set; 0 disables the tier.
 DEFAULT_SINGLE_TASK_BUDGET = 256 << 20
 _SINGLE_TASK_EDGE_BYTES = 48
+# In-task cap for the n²/8-byte adjacency bitmap used by the wedge-close
+# probe; above it the close falls back to a searchsorted membership test
+# on packed rank keys (~5x slower per wedge, no n² memory) — the choice
+# is made INSIDE the task where the exact vertex count is known.
+_BITMAP_CAP_BYTES = 512 << 20
+
+
+def _count_canonical_pairs(np, lo_ids, hi_ids) -> int:
+    """Exact triangle count of a CANONICAL (lo < hi by any total order),
+    DEDUPED, self-loop-free simple edge set given as two int64 arrays.
+
+    Semantics are identical to the distributed wedge/close join: orient
+    low→high by (degree, id) rank — the count is invariant to WHICH
+    total order is used, it only needs some orientation — enumerate each
+    triangle's unique wedge at its lowest-ranked vertex, and close
+    against the edge set. Pure integer work.
+
+    Max out-degree after degree-orientation is ≤ √(2m) (a vertex keeping
+    t out-edges has t neighbors of degree ≥ t, so Σdeg ≥ t²), hence one
+    group's pair template is ≤ m pairs — no blowup; generation is still
+    chunked to bound peak memory.
+    """
+    m = len(lo_ids)
+    if m == 0:
+        return 0
+    ids, inv = np.unique(np.concatenate([lo_ids, hi_ids]), return_inverse=True)
+    n = len(ids)
+    si, di = inv[:m].astype(np.int32), inv[m:].astype(np.int32)
+    deg = np.bincount(inv, minlength=n)
+    order = np.lexsort((np.arange(n), deg))
+    rank = np.empty(n, dtype=np.int32)
+    rank[order] = np.arange(n, dtype=np.int32)
+    rs, rd = rank[si], rank[di]
+    lo = np.minimum(rs, rd)
+    hi = np.maximum(rs, rd)
+    eorder = np.lexsort((hi, lo))
+    lo, hi = lo[eorder], hi[eorder]
+    stride = (n + 7) >> 3
+    use_bitmap = n * stride <= _BITMAP_CAP_BYTES
+    if use_bitmap:
+        # adjacency bitmap: bit (u, v) set iff oriented edge u→v exists
+        bits = np.zeros(n * stride, dtype=np.uint8)
+        np.bitwise_or.at(
+            bits,
+            lo.astype(np.int64) * stride + (hi >> 3),
+            (1 << (hi & 7)).astype(np.uint8),
+        )
+    else:
+        # sorted packed rank keys (rank < n ≤ 2m, so lo*n+hi < n² fits
+        # int64); lexsort order above IS ascending key order
+        ekeys = lo.astype(np.int64) * n + hi.astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, lo[1:] != lo[:-1]]).astype(np.int64)
+    glen = (np.r_[starts[1:], m] - starts).astype(np.int64)
+    total = 0
+    CHUNK = 16_000_000
+    for g in np.unique(glen):
+        if g < 2:
+            continue
+        sg = starts[glen == g]
+        ti, tj = (a.astype(np.int64) for a in np.triu_indices(int(g), 1))
+        step = max(1, CHUNK // len(ti))
+        for i in range(0, len(sg), step):
+            sgc = sg[i : i + step]
+            wa = hi[(sgc[:, None] + ti[None, :])].ravel()
+            wb = hi[(sgc[:, None] + tj[None, :])].ravel()
+            if use_bitmap:
+                byte = bits[wa.astype(np.int64) * stride + (wb >> 3)]
+                total += int(((byte >> (wb & 7).astype(np.uint8)) & 1).sum())
+            else:
+                wk = wa.astype(np.int64) * n + wb.astype(np.int64)
+                idx = np.searchsorted(ekeys, wk)
+                idx[idx >= m] = m - 1
+                total += int((ekeys[idx] == wk).sum())
+    return total
+
+
+def _one_row(pd, np, k):
+    return pd.DataFrame({"triangles": np.array([k], dtype=np.int64)})
 
 
 def _single_task_triangle(canon_keys: DataFrame) -> DataFrame:
     """One-row (triangles: long) — the whole count in one task.
 
     Input: the id-canonical DISTINCT simple edge set, xxhash64-keyed
-    (s, d). Semantics are identical to the distributed wedge/close join:
-    orient low→high by (degree, id-in-hash-space) rank — the count is
-    invariant to WHICH total order is used, it only needs some
-    orientation — enumerate each triangle's unique wedge at its
-    lowest-ranked vertex, and close against the edge set. Pure integer
-    work, exact count.
-
-    Max out-degree after degree-orientation is ≤ √(2m) (a vertex keeping
-    t out-edges has t neighbors of degree ≥ t, so Σdeg ≥ t²), hence one
-    group's pair template is ≤ m pairs — no blowup; generation is still
-    chunked to bound peak memory.
+    (s, d). See _count_canonical_pairs for the algorithm and the
+    equivalence argument.
     """
 
     def run(pdfs):
@@ -59,53 +128,78 @@ def _single_task_triangle(canon_keys: DataFrame) -> DataFrame:
         import pandas as pd
 
         chunks = [c for c in pdfs]
-        one = lambda k: pd.DataFrame({"triangles": np.array([k], dtype=np.int64)})
         if not chunks:
-            yield one(0)
+            yield _one_row(pd, np, 0)
             return
         s = np.concatenate([c["s"].to_numpy() for c in chunks])
         d = np.concatenate([c["d"].to_numpy() for c in chunks])
-        ids, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
-        n = len(ids)
-        si, di = inv[: len(s)].astype(np.int32), inv[len(s) :].astype(np.int32)
-        deg = np.bincount(inv, minlength=n)
-        order = np.lexsort((np.arange(n), deg))
-        rank = np.empty(n, dtype=np.int32)
-        rank[order] = np.arange(n, dtype=np.int32)
-        rs, rd = rank[si], rank[di]
-        lo = np.minimum(rs, rd)
-        hi = np.maximum(rs, rd)
-        eorder = np.lexsort((hi, lo))
-        lo, hi = lo[eorder], hi[eorder]
-        m = len(lo)
-        # adjacency bitmap: bit (u, v) set iff oriented edge u→v exists
-        stride = (n + 7) >> 3
-        bits = np.zeros(n * stride, dtype=np.uint8)
-        np.bitwise_or.at(
-            bits,
-            lo.astype(np.int64) * stride + (hi >> 3),
-            (1 << (hi & 7)).astype(np.uint8),
-        )
-        starts = np.flatnonzero(np.r_[True, lo[1:] != lo[:-1]]).astype(np.int64)
-        glen = (np.r_[starts[1:], m] - starts).astype(np.int64)
-        total = 0
-        CHUNK = 16_000_000
-        for g in np.unique(glen):
-            if g < 2:
-                continue
-            sg = starts[glen == g]
-            ti, tj = (a.astype(np.int64) for a in np.triu_indices(int(g), 1))
-            per_group = len(ti)
-            step = max(1, CHUNK // per_group)
-            for i in range(0, len(sg), step):
-                sgc = sg[i : i + step]
-                wa = hi[(sgc[:, None] + ti[None, :])].ravel()
-                wb = hi[(sgc[:, None] + tj[None, :])].ravel()
-                byte = bits[wa.astype(np.int64) * stride + (wb >> 3)]
-                total += int(((byte >> (wb & 7).astype(np.uint8)) & 1).sum())
-        yield one(total)
+        yield _one_row(pd, np, _count_canonical_pairs(np, s, d))
 
     return canon_keys.coalesce(1).mapInPandas(run, "triangles long")
+
+
+def _single_task_triangle_raw(pairs: DataFrame) -> DataFrame:
+    """One-row (triangles: long) from a RAW (s, d) long-pair multiset —
+    duplicates, self-loops and either orientation allowed; canonicalize
+    + dedup run in-task (a 1.2M-row sort beats a distinct Exchange plus
+    a cached checkpoint by a wide margin at this size)."""
+
+    def run(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        chunks = [c for c in pdfs]
+        if not chunks:
+            yield _one_row(pd, np, 0)
+            return
+        s = np.concatenate([c["s"].to_numpy() for c in chunks])
+        d = np.concatenate([c["d"].to_numpy() for c in chunks])
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        keep = lo != hi  # drop self-loops (canonical_edges semantics)
+        lo, hi = lo[keep], hi[keep]
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        if len(lo):
+            first = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+            lo, hi = lo[first], hi[first]
+        yield _one_row(pd, np, _count_canonical_pairs(np, lo, hi))
+
+    return pairs.coalesce(1).mapInPandas(run, "triangles long")
+
+
+def triangle_count_long_pairs(
+    pairs: DataFrame,
+    single_task_budget_bytes: int = DEFAULT_SINGLE_TASK_BUDGET,
+) -> DataFrame:
+    """Global triangle count of an undirected simple graph given as a RAW
+    ``(s: long, d: long)`` pair multiset (duplicates, self-loops, either
+    orientation — exactly what ``canonical_edges`` would normalize away).
+
+    Below the single-task budget the whole canonicalize/dedup/orient/
+    wedge/close runs in one numpy task over the raw stream — no distinct
+    Exchange, no string minting, no hash probe (long keys need no
+    injectivity check). Above it, the raw pairs are stringified and
+    handed to the generic ``triangle_count`` pipeline (its
+    canonical_edges distinct performs the dedup; identical count — the
+    distinct UNORDERED pair set is the same under any canonical
+    orientation).
+    """
+    if single_task_budget_bytes:
+        hint = plan_size_hint_bytes(pairs)
+        if hint is None or hint <= 8 * single_task_budget_bytes:
+            # one materialization serves the gate count AND whichever
+            # path runs (the raw plan — e.g. the co-occurrence pair
+            # generation — would otherwise compute twice)
+            pairs = pairs.localCheckpoint(eager=True)
+            rows = pairs.count()
+            if 0 < rows * _SINGLE_TASK_EDGE_BYTES <= single_task_budget_bytes:
+                return _single_task_triangle_raw(pairs)
+    cols = pairs.columns
+    return triangle_count(
+        pairs.select(F.col(cols[0]).alias("src"), F.col(cols[1]).alias("dst")),
+        single_task_budget_bytes=0,
+    )
 
 
 def oriented_edges(edges: DataFrame, already_canonical: bool = False) -> DataFrame:
@@ -190,16 +284,17 @@ def triangle_count(
         canon = canon.select(
             F.least(hs, hd).alias("src"), F.greatest(hs, hd).alias("dst")
         )
-        if single_task_budget_bytes:
-            n_v = int(c["ids"])
-            est = n_e * _SINGLE_TASK_EDGE_BYTES + (n_v * n_v) // 8
-            if n_e > 0 and est <= single_task_budget_bytes:
-                # fourth rung (see _single_task_triangle): the whole
-                # orient/wedge/close inside one task. >budget graphs (the
-                # bitmap is quadratic in |V|) continue below unchanged.
-                return _single_task_triangle(
-                    canon.select(F.col("src").alias("s"), F.col("dst").alias("d"))
-                )
+        if (
+            single_task_budget_bytes
+            and 0 < n_e * _SINGLE_TASK_EDGE_BYTES <= single_task_budget_bytes
+        ):
+            # fourth rung (see _count_canonical_pairs): the whole
+            # orient/wedge/close inside one task; the close picks
+            # bitmap vs searchsorted in-task from the exact vertex
+            # count. >budget graphs continue below unchanged.
+            return _single_task_triangle(
+                canon.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+            )
     o = oriented_edges(canon, already_canonical=True).localCheckpoint(eager=True)
     # The wedge table (Σ C(outdeg, 2) rows) is the LARGEST relation in
     # this query — orders of magnitude bigger than the edge set. When the

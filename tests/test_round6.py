@@ -182,8 +182,8 @@ def test_degree_single_task_matches_distributed(spark, hub_graph):
     # task) vs the split pipeline (tier disabled): identical rows — and
     # the distributed path itself now builds its fan-out from ONE shared
     # degree aggregation (both BroadcastExchanges read the lazily
-    # checkpointed table) with an uncached single-consumer undirected
-    # expansion
+    # checkpointed table, itself derived from the shared lazily
+    # checkpointed undirected expansion)
     from gelly_partitioning_spark import degree_count
 
     local = {
@@ -267,3 +267,53 @@ def test_single_task_in_task_collision_check_raises(spark):
     )
     with pytest.raises(Exception, match="xxhash64 collision"):
         _single_task_pagerank(df, 0.85, 1e-6, 5, None).collect()
+
+
+def test_triangle_long_pairs_matches_generic(spark):
+    # r6.1: the raw long-pair tier (in-task canonicalize/dedup, used by
+    # the declared triangle query) vs the generic stringified pipeline —
+    # duplicates, self-loops, reversed orientation and negative ids all
+    # normalize identically
+    from gelly_partitioning_spark import triangle_count_long_pairs
+
+    raw = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3), (2, 3), (3, 4), (3, 3), (5, 3),
+         (4, 5), (5, 1), (1, 1)],
+        "s long, d long",
+    )
+    neg = spark.createDataFrame(
+        [(-5, -2), (-2, -7), (-7, -5), (-5, 8), (8, -2)], "s long, d long"
+    )
+    for df, want in ((raw, 3), (neg, 2)):
+        tier = triangle_count_long_pairs(df).collect()[0]["triangles"]
+        dist = triangle_count_long_pairs(df, single_task_budget_bytes=0).collect()[
+            0
+        ]["triangles"]
+        assert tier == dist == want
+
+
+def test_triangle_core_close_methods_agree(monkeypatch):
+    # the in-task close picks bitmap vs searchsorted from the exact
+    # vertex count; both must count identically (monkeypatching the cap
+    # works here because the core runs in-process, not on a worker)
+    import importlib
+
+    import numpy as np
+
+    tcm = importlib.import_module(
+        "gelly_partitioning_spark.algorithms.triangle_count"
+    )
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, 500, 20000)
+    d = rng.integers(0, 500, 20000)
+    lo, hi = np.minimum(s, d), np.maximum(s, d)
+    keep = lo != hi
+    lo, hi = lo[keep], hi[keep]
+    o = np.lexsort((hi, lo))
+    lo, hi = lo[o], hi[o]
+    f = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+    lo, hi = lo[f].astype(np.int64), hi[f].astype(np.int64)
+    bitmap = tcm._count_canonical_pairs(np, lo, hi)
+    monkeypatch.setattr(tcm, "_BITMAP_CAP_BYTES", 0)
+    searchsorted = tcm._count_canonical_pairs(np, lo, hi)
+    assert bitmap == searchsorted > 0
