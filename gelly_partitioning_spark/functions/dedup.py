@@ -117,6 +117,12 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # materialize the (tiny: #docs x bands rows) banded table ONCE: both
+    # self-join sides reference it, and unmaterialized the whole shingle
+    # explode + 8-way md5 min-agg pipeline ran twice — the plan showed
+    # two full document scans, one per side, because the broadcast side
+    # cannot reuse the other side's exchange (guide §1.2/§5; lazy, so
+    # the first side's job writes it and the second reads it)
     banded = sig.select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -127,7 +133,7 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band", "band_key"),
-    )
+    ).localCheckpoint(eager=False)
     a = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     return (
@@ -196,7 +202,18 @@ def _jaccard_pairs(
     tok: DataFrame, min_jaccard: float, prefix_filter: bool, emit_counts: bool
 ) -> DataFrame:
     """Shared core: (id, tok) exploded distinct elements → qualifying pairs."""
-    sizes = tok.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    # r6: the exploded token stream feeds FOUR subtrees on the prefix
+    # path (sizes, dfreq, the ranked prefix build, toksets) and two on
+    # the naive path — unmaterialized, each re-ran the upstream
+    # tokenizer explode (guide §1.2/§5: cache what is reused; lazy, so
+    # the first consumer's job writes it)
+    tok = tok.localCheckpoint(eager=False)
+    # sizes: 3 consumers (ranked build + both sides of the final join)
+    sizes = (
+        tok.groupBy("id")
+        .agg(F.count("*").cast("long").alias("sz"))
+        .localCheckpoint(eager=False)
+    )
 
     if prefix_filter:
         from pyspark.sql import Window
@@ -213,10 +230,12 @@ def _jaccard_pairs(
             )
             .join(sizes, "id")
         )
+        # pref is referenced by BOTH candidate-join sides; toksets by
+        # both verification joins — one materialization each
         pref = ranked.filter(
             F.col("pos")
             <= F.col("sz") - F.ceil(F.lit(t_gen) * F.col("sz")) + F.lit(1)
-        ).select("id", "tok")
+        ).select("id", "tok").localCheckpoint(eager=False)
         cand = (
             pref.select(F.col("id").alias("id_a"), "tok")
             .join(pref.select(F.col("id").alias("id_b"), "tok"), "tok")
@@ -224,7 +243,9 @@ def _jaccard_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        toksets = tok.groupBy("id").agg(F.sort_array(F.collect_list("tok")).alias("ts"))
+        toksets = tok.groupBy("id").agg(
+            F.sort_array(F.collect_list("tok")).alias("ts")
+        ).localCheckpoint(eager=False)
         inter = (
             cand.join(
                 toksets.select(F.col("id").alias("id_a"), F.col("ts").alias("ta")), "id_a"
