@@ -53,6 +53,12 @@ def edge_common_neighbors(canon: DataFrame) -> DataFrame:
         .filter(F.col("x.hi") < F.col("y.hi"))
         .select(F.col("x.lo").alias("v"), F.col("x.hi").alias("b"), F.col("y.hi").alias("c"))
     )
+    # Examined in r6: THREE consumers below (one per triangle corner)
+    # and the static plan carries the wedge/close subtree thrice — but a
+    # lazy checkpoint of tri measured NO warm-time change in a
+    # same-window A/B (AQE's runtime stage reuse already deduplicates
+    # the shuffle work), while caching a (#triangles)-row set is a real
+    # memory liability at scale. Deliberately left uncached.
     tri = w.join(
         canon.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
     )
@@ -70,7 +76,9 @@ def jaccard(edges: DataFrame) -> DataFrame:
     canon = (
         canonical_edges(edges).withColumn("w", F.lit(1.0)).localCheckpoint(eager=True)
     )
-    deg = degrees(canon)
+    # two consumers (the src- and dst-side degree attachments) — one
+    # vertex-sized materialization instead of two full aggregations
+    deg = degrees(canon).localCheckpoint(eager=False)
     common = edge_common_neighbors(canon.select("src", "dst"))
 
     j = (
