@@ -127,8 +127,15 @@ def split_graph(
     # copy (guide §1.2: no duplicate passes).
     und = und_df if und_df is not None else checkpoint_static(undirected(edges), eager=False)
     if degree_df is None:
-        degree_df = und.groupBy(F.col("src").alias("id")).agg(
-            F.count("*").cast("long").alias("degree")
+        # lazy vertex-sized cache: the derived degree table feeds BOTH
+        # broadcast fan-out builds (and the auto-threshold agg) — without
+        # it each consumer re-ran the full aggregation (r6, the same fix
+        # degree_count's explicit path got; the plan showed the groupBy
+        # subtree once per BroadcastExchange)
+        degree_df = (
+            und.groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").cast("long").alias("degree"))
+            .localCheckpoint(eager=False)
         )
     if threshold is None:
         row = degree_df.agg(
